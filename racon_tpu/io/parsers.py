@@ -1,0 +1,176 @@
+"""Input parsers: FASTA / FASTQ / MHAP / PAF / SAM, all optionally gzipped.
+
+Python implementations of the five formats the reference consumes through
+bioparser (reference: src/polisher.cpp:85-135).  Semantics mirrored:
+  * sequence names are the header token up to the first whitespace,
+  * multi-line FASTA/FASTQ bodies are concatenated,
+  * extension-based dispatch with the same accepted extension lists,
+  * gzip transparently handled.
+
+A native C++ parser (racon_tpu.native) accelerates the same API for large
+inputs; this module is the reference implementation and fallback.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from typing import Iterator, List
+
+from racon_tpu.core.overlap import Overlap
+from racon_tpu.core.sequence import Sequence
+
+FASTA_EXTENSIONS = (".fasta", ".fasta.gz", ".fna", ".fna.gz", ".fa", ".fa.gz")
+FASTQ_EXTENSIONS = (".fastq", ".fastq.gz", ".fq", ".fq.gz")
+SEQUENCE_EXTENSIONS = FASTA_EXTENSIONS + FASTQ_EXTENSIONS
+OVERLAP_EXTENSIONS = (".mhap", ".mhap.gz", ".paf", ".paf.gz", ".sam", ".sam.gz")
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def _name_token(header: bytes) -> str:
+    return header.split(None, 1)[0].decode()
+
+
+# --------------------------------------------------------------------- #
+# sequences
+# --------------------------------------------------------------------- #
+
+def parse_fasta(path: str) -> List[Sequence]:
+    out: List[Sequence] = []
+    name = None
+    chunks: List[bytes] = []
+    with _open(path) as f:
+        for line in f:
+            line = line.rstrip()
+            if not line:
+                continue
+            if line.startswith(b">"):
+                if name is not None:
+                    out.append(Sequence(name, b"".join(chunks)))
+                name = _name_token(line[1:])
+                chunks = []
+            else:
+                chunks.append(line)
+    if name is not None:
+        out.append(Sequence(name, b"".join(chunks)))
+    return out
+
+
+def parse_fastq(path: str) -> List[Sequence]:
+    out: List[Sequence] = []
+    with _open(path) as f:
+        it = iter(f)
+        for header in it:
+            header = header.rstrip()
+            if not header:
+                continue
+            if not header.startswith(b"@"):
+                raise RuntimeError(
+                    f"[racon_tpu::parse_fastq] error: malformed header in {path}")
+            name = _name_token(header[1:])
+            # multi-line body until '+', then equally long quality
+            data_chunks: List[bytes] = []
+            for line in it:
+                line = line.rstrip()
+                if line.startswith(b"+"):
+                    break
+                data_chunks.append(line)
+            data = b"".join(data_chunks)
+            qual_chunks: List[bytes] = []
+            qlen = 0
+            while qlen < len(data):
+                line = next(it).rstrip()
+                qual_chunks.append(line)
+                qlen += len(line)
+            out.append(Sequence(name, data, b"".join(qual_chunks)))
+    return out
+
+
+def parse_sequences(path: str) -> List[Sequence]:
+    if path.endswith(FASTA_EXTENSIONS):
+        return parse_fasta(path)
+    if path.endswith(FASTQ_EXTENSIONS):
+        return parse_fastq(path)
+    raise RuntimeError(
+        f"[racon_tpu::parse_sequences] error: file {path} has unsupported "
+        f"format extension (valid extensions: .fasta, .fasta.gz, .fna, "
+        f".fna.gz, .fa, .fa.gz, .fastq, .fastq.gz, .fq, .fq.gz)!")
+
+
+# --------------------------------------------------------------------- #
+# overlaps
+# --------------------------------------------------------------------- #
+
+def parse_mhap(path: str) -> List[Overlap]:
+    out: List[Overlap] = []
+    with _open(path) as f:
+        for line in f:
+            fields = line.split()
+            if len(fields) < 12:
+                continue
+            out.append(Overlap.from_mhap(
+                a_id=int(fields[0]), b_id=int(fields[1]),
+                a_rc=int(fields[4]), a_begin=int(fields[5]),
+                a_end=int(fields[6]), a_length=int(fields[7]),
+                b_rc=int(fields[8]), b_begin=int(fields[9]),
+                b_end=int(fields[10]), b_length=int(fields[11])))
+    return out
+
+
+def parse_paf(path: str) -> List[Overlap]:
+    out: List[Overlap] = []
+    with _open(path) as f:
+        for line in f:
+            fields = line.split(b"\t")
+            if len(fields) < 12:
+                continue
+            out.append(Overlap.from_paf(
+                q_name=fields[0].decode(), q_length=int(fields[1]),
+                q_begin=int(fields[2]), q_end=int(fields[3]),
+                orientation=fields[4].decode(),
+                t_name=fields[5].decode(), t_length=int(fields[6]),
+                t_begin=int(fields[7]), t_end=int(fields[8])))
+    return out
+
+
+def parse_sam(path: str) -> List[Overlap]:
+    out: List[Overlap] = []
+    with _open(path) as f:
+        for line in f:
+            if line.startswith(b"@"):
+                continue
+            fields = line.split(b"\t")
+            if len(fields) < 11:
+                continue
+            out.append(Overlap.from_sam(
+                q_name=fields[0].decode(), flag=int(fields[1]),
+                t_name=fields[2].decode(), t_pos=int(fields[3]),
+                cigar=fields[5]))
+    return out
+
+
+def parse_overlaps(path: str) -> List[Overlap]:
+    if path.endswith((".mhap", ".mhap.gz")):
+        return parse_mhap(path)
+    if path.endswith((".paf", ".paf.gz")):
+        return parse_paf(path)
+    if path.endswith((".sam", ".sam.gz")):
+        return parse_sam(path)
+    raise RuntimeError(
+        f"[racon_tpu::parse_overlaps] error: file {path} has unsupported "
+        f"format extension (valid extensions: .mhap, .mhap.gz, .paf, "
+        f".paf.gz, .sam, .sam.gz)!")
+
+
+def write_fasta(sequences, stream) -> None:
+    """Emit polished sequences as FASTA (reference: src/main.cpp:159-161)."""
+    for s in sequences:
+        stream.write(f">{s.name}\n")
+        stream.write(s.data.decode() if isinstance(s.data, bytes) else s.data)
+        stream.write("\n")

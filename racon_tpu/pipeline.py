@@ -1,0 +1,334 @@
+"""Pipeline orchestrator: ingest -> window binning -> consensus -> stitch.
+
+The Polisher mirrors the reference orchestrator semantics end to end
+(reference: src/polisher.cpp:57-547):
+  * extension-dispatched parsers and validation (polisher.cpp:85-135),
+  * target-then-reads ingest with dedup of reads that are also targets
+    (polisher.cpp:200-265),
+  * overlap transmute + error/self filters and, in contig mode, keeping a
+    single longest overlap per query run (polisher.cpp:285-351),
+  * breaking-point computation (alignment for CIGAR-less formats),
+  * per-target windows every ``window_length`` bases, layer assignment with
+    the 2%-span and mean-quality filters (polisher.cpp:388-461),
+  * stitching with ``LN:i``/``RC:i``/``XC:f`` tags (polisher.cpp:505-531).
+
+The consensus itself is delegated to an engine: the batched TPU engine
+(racon_tpu.poa.engine) by default, or the host oracle for verification.
+"""
+
+from __future__ import annotations
+
+import enum
+import sys
+from typing import Dict, List, Optional, Tuple
+
+from racon_tpu.core.overlap import Overlap
+from racon_tpu.core.sequence import Sequence
+from racon_tpu.core.window import Window, WindowType
+from racon_tpu.io import parsers
+from racon_tpu.obs.logger import Logger
+
+
+class PolisherType(enum.Enum):
+    kC = 0   # contig polishing
+    kF = 1   # fragment (read) error correction
+
+
+def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
+                    type: PolisherType = PolisherType.kC,
+                    window_length: int = 500, quality_threshold: float = 10.0,
+                    error_threshold: float = 0.3, trim: bool = True,
+                    match: int = 3, mismatch: int = -5, gap: int = -4,
+                    num_threads: int = 1, engine: str = "auto") -> "Polisher":
+    """Factory with the reference's validation surface
+    (reference: src/polisher.cpp:57-163)."""
+    if not isinstance(type, PolisherType):
+        raise RuntimeError(
+            "[racon_tpu::create_polisher] error: invalid polisher type!")
+    if window_length == 0:
+        raise RuntimeError(
+            "[racon_tpu::create_polisher] error: invalid window length!")
+    for path, exts, kind in (
+            (sequences_path, parsers.SEQUENCE_EXTENSIONS, "sequences"),
+            (overlaps_path, parsers.OVERLAP_EXTENSIONS, "overlaps"),
+            (target_path, parsers.SEQUENCE_EXTENSIONS, "target")):
+        if not path.endswith(exts):
+            raise RuntimeError(
+                f"[racon_tpu::create_polisher] error: file {path} has "
+                f"unsupported format extension (valid extensions: "
+                f"{', '.join(exts)})!")
+    return Polisher(sequences_path, overlaps_path, target_path, type,
+                    window_length, quality_threshold, error_threshold, trim,
+                    match, mismatch, gap, num_threads, engine)
+
+
+class Polisher:
+    def __init__(self, sequences_path: str, overlaps_path: str,
+                 target_path: str, type: PolisherType, window_length: int,
+                 quality_threshold: float, error_threshold: float, trim: bool,
+                 match: int, mismatch: int, gap: int, num_threads: int,
+                 engine: str = "auto"):
+        self.sequences_path = sequences_path
+        self.overlaps_path = overlaps_path
+        self.target_path = target_path
+        self.type = type
+        self.window_length = window_length
+        self.quality_threshold = quality_threshold
+        self.error_threshold = error_threshold
+        self.trim = trim
+        self.match = match
+        self.mismatch = mismatch
+        self.gap = gap
+        self.num_threads = num_threads
+        self.engine_name = engine
+
+        self.sequences: List[Sequence] = []
+        self.windows: List[Window] = []
+        self.targets_size = 0
+        self.targets_coverages: List[int] = []
+        self.dummy_quality = b"!" * window_length
+        self.logger = Logger()
+
+    # ------------------------------------------------------------------ #
+    # ingest
+    # ------------------------------------------------------------------ #
+
+    def initialize(self) -> None:
+        if self.windows:
+            print("[racon_tpu::Polisher.initialize] warning: "
+                  "object already initialized!", file=sys.stderr)
+            return
+
+        self.logger.reset()
+        self.sequences = parsers.parse_sequences(self.target_path)
+        self.targets_size = len(self.sequences)
+        if self.targets_size == 0:
+            raise RuntimeError("[racon_tpu::Polisher.initialize] error: "
+                               "empty target sequences set!")
+
+        name_to_id: Dict[str, int] = {}
+        id_to_id: Dict[int, int] = {}
+        for i, t in enumerate(self.sequences):
+            name_to_id[t.name + "t"] = i
+            id_to_id[i << 1 | 1] = i
+
+        has_name = [True] * self.targets_size
+        self.logger.log("[racon_tpu::Polisher.initialize] loaded target sequences")
+
+        # reads, deduping those that are also targets
+        # (reference: src/polisher.cpp:226-265)
+        reads = parsers.parse_sequences(self.sequences_path)
+        sequences_size = 0
+        total_sequences_length = 0
+        for r in reads:
+            total_sequences_length += len(r.data)
+            tkey = r.name + "t"
+            if tkey in name_to_id:
+                tid = name_to_id[tkey]
+                if (len(r.data) != len(self.sequences[tid].data) or
+                        len(r.quality) != len(self.sequences[tid].quality)):
+                    raise RuntimeError(
+                        "[racon_tpu::Polisher.initialize] error: duplicate "
+                        f"sequence {r.name} with unequal data")
+                name_to_id[r.name + "q"] = tid
+                id_to_id[sequences_size << 1 | 0] = tid
+            else:
+                idx = len(self.sequences)
+                name_to_id[r.name + "q"] = idx
+                id_to_id[sequences_size << 1 | 0] = idx
+                self.sequences.append(r)
+            sequences_size += 1
+        if sequences_size == 0:
+            raise RuntimeError("[racon_tpu::Polisher.initialize] error: "
+                               "empty sequences set!")
+
+        has_name += [False] * (len(self.sequences) - len(has_name))
+        window_type = (WindowType.NGS
+                       if total_sequences_length / sequences_size <= 1000
+                       else WindowType.TGS)
+        self.logger.log("[racon_tpu::Polisher.initialize] loaded sequences")
+
+        # overlaps: transmute + filters (reference: src/polisher.cpp:283-351)
+        raw = parsers.parse_overlaps(self.overlaps_path)
+        valid: List[Overlap] = []
+        for o in raw:
+            o.transmute(self.sequences, name_to_id, id_to_id)
+            if o.is_valid:
+                valid.append(o)
+
+        overlaps: List[Overlap] = []
+        run: List[Overlap] = []
+
+        def flush_run():
+            kept = [o for o in run
+                    if o.error <= self.error_threshold and o.q_id != o.t_id]
+            if not kept:
+                return
+            if self.type == PolisherType.kC:
+                # earliest overlap of maximal length wins
+                # (reference: src/polisher.cpp:295-307)
+                best = kept[0]
+                for o in kept[1:]:
+                    if o.length > best.length:
+                        best = o
+                overlaps.append(best)
+            else:
+                overlaps.extend(kept)
+
+        for o in valid:
+            if run and run[-1].q_id != o.q_id:
+                flush_run()
+                run = []
+            run.append(o)
+        flush_run()
+
+        if not overlaps:
+            raise RuntimeError("[racon_tpu::Polisher.initialize] error: "
+                               "empty overlap set!")
+
+        has_data = [i < self.targets_size for i in range(len(self.sequences))]
+        has_reverse_data = [False] * len(self.sequences)
+        for o in overlaps:
+            if o.strand:
+                has_reverse_data[o.q_id] = True
+            else:
+                has_data[o.q_id] = True
+
+        self.logger.log("[racon_tpu::Polisher.initialize] loaded overlaps")
+
+        for i, s in enumerate(self.sequences):
+            s.transmute(has_name[i], has_data[i], has_reverse_data[i])
+
+        self._find_overlap_breaking_points(overlaps)
+        self.logger.log("[racon_tpu::Polisher.initialize] aligned overlaps")
+
+        # windows (reference: src/polisher.cpp:388-403)
+        id_to_first_window_id = [0] * (self.targets_size + 1)
+        for i in range(self.targets_size):
+            data = self.sequences[i].data
+            quality = self.sequences[i].quality
+            k = 0
+            for j in range(0, len(data), self.window_length):
+                length = min(j + self.window_length, len(data)) - j
+                q = (quality[j:j + length] if quality
+                     else self.dummy_quality[:length])
+                self.windows.append(Window(i, k, window_type,
+                                           data[j:j + length], q))
+                k += 1
+            id_to_first_window_id[i + 1] = id_to_first_window_id[i] + k
+
+        self.targets_coverages = [0] * self.targets_size
+
+        # layer assignment (reference: src/polisher.cpp:407-461)
+        w = self.window_length
+        for o in overlaps:
+            self.targets_coverages[o.t_id] += 1
+            sequence = self.sequences[o.q_id]
+            bps = o.breaking_points
+            for j in range(0, len(bps), 2):
+                if bps[j + 1][1] - bps[j][1] < 0.02 * w:
+                    continue
+                if sequence.quality or sequence.reverse_quality:
+                    quality = (sequence.reverse_quality if o.strand
+                               else sequence.quality)
+                    qsum = sum(quality[bps[j][1]:bps[j + 1][1]]) \
+                        - 33 * (bps[j + 1][1] - bps[j][1])
+                    if qsum / (bps[j + 1][1] - bps[j][1]) < self.quality_threshold:
+                        continue
+
+                window_id = (id_to_first_window_id[o.t_id] + bps[j][0] // w)
+                window_start = (bps[j][0] // w) * w
+                data = (sequence.reverse_complement if o.strand
+                        else sequence.data)[bps[j][1]:bps[j + 1][1]]
+                qual_src = (sequence.reverse_quality if o.strand
+                            else sequence.quality)
+                qual = qual_src[bps[j][1]:bps[j + 1][1]] if qual_src else None
+                self.windows[window_id].add_layer(
+                    data, qual,
+                    bps[j][0] - window_start,
+                    bps[j + 1][0] - window_start - 1)
+
+        self.logger.log("[racon_tpu::Polisher.initialize] "
+                        "transformed data into windows")
+
+    def _find_overlap_breaking_points(self, overlaps: List[Overlap]) -> None:
+        from racon_tpu.align.aligner import get_aligner
+        aligner = get_aligner(self.num_threads)
+        # batch the CIGAR-less overlaps through the aligner
+        need = [o for o in overlaps if not o.cigar]
+        if need and hasattr(aligner, "align_batch"):
+            pairs = []
+            for o in need:
+                seq = self.sequences[o.q_id]
+                if not o.strand:
+                    q = seq.data[o.q_begin:o.q_end]
+                else:
+                    q = seq.reverse_complement[
+                        o.q_length - o.q_end:o.q_length - o.q_begin]
+                t = self.sequences[o.t_id].data[o.t_begin:o.t_end]
+                pairs.append((q, t))
+            cigars = aligner.align_batch(pairs)
+            for o, c in zip(need, cigars):
+                o.cigar = c
+        for o in overlaps:
+            o.find_breaking_points(self.sequences, self.window_length,
+                                   aligner=aligner)
+
+    # ------------------------------------------------------------------ #
+    # consensus + stitch
+    # ------------------------------------------------------------------ #
+
+    def _make_engine(self):
+        name = self.engine_name
+        if name == "auto":
+            try:
+                import jax
+                name = "tpu"
+            except Exception:  # pragma: no cover
+                name = "oracle"
+        if name == "tpu":
+            try:
+                from racon_tpu.poa.engine import BatchedPOAEngine
+                return BatchedPOAEngine(self.match, self.mismatch, self.gap)
+            except Exception as e:  # pragma: no cover
+                print(f"[racon_tpu::Polisher.polish] warning: TPU engine "
+                      f"unavailable ({e}); falling back to oracle",
+                      file=sys.stderr)
+                name = "oracle"
+        if name == "native":
+            from racon_tpu.poa.native_engine import NativePOAEngine
+            return NativePOAEngine(self.match, self.mismatch, self.gap,
+                                   self.num_threads)
+        from racon_tpu.poa.oracle_engine import OraclePOAEngine
+        return OraclePOAEngine(self.match, self.mismatch, self.gap)
+
+    def polish(self, drop_unpolished_sequences: bool = True) -> List[Sequence]:
+        engine = self._make_engine()
+        results = engine.polish_windows(self.windows, self.trim)
+
+        dst: List[Sequence] = []
+        polished_data = bytearray()
+        num_polished_windows = 0
+
+        for i, window in enumerate(self.windows):
+            consensus, polished = results[i]
+            num_polished_windows += 1 if polished else 0
+            polished_data += consensus
+
+            if i == len(self.windows) - 1 or self.windows[i + 1].rank == 0:
+                polished_ratio = num_polished_windows / (window.rank + 1)
+                if not drop_unpolished_sequences or polished_ratio > 0:
+                    tags = "r" if self.type == PolisherType.kF else ""
+                    tags += f" LN:i:{len(polished_data)}"
+                    tags += f" RC:i:{self.targets_coverages[window.id]}"
+                    tags += f" XC:f:{polished_ratio:.6f}"
+                    dst.append(Sequence(
+                        self.sequences[window.id].name + tags,
+                        bytes(polished_data)))
+                num_polished_windows = 0
+                polished_data = bytearray()
+
+        self.logger.log("[racon_tpu::Polisher.polish] generated consensus")
+        self.windows = []
+        self.sequences = []
+        return dst
