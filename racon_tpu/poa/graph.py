@@ -327,7 +327,7 @@ class POAGraph:
                     break
                 continue
             if j > 0 and H[v][j] == H[v][j - 1] + gap:
-                alignment.append((v, j - 1))
+                alignment.append((-1, j - 1))   # insertion: seq char, no node
                 j -= 1
                 continue
             raise AssertionError("POA traceback failed")  # pragma: no cover
