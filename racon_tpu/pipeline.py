@@ -288,7 +288,7 @@ class Polisher:
                 name = "oracle"
         if name == "tpu":
             try:
-                from racon_tpu.poa.engine import BatchedPOAEngine
+                from racon_tpu.poa.batched import BatchedPOAEngine
                 return BatchedPOAEngine(self.match, self.mismatch, self.gap)
             except Exception as e:  # pragma: no cover
                 print(f"[racon_tpu::Polisher.polish] warning: TPU engine "

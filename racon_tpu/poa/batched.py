@@ -1,0 +1,185 @@
+"""BatchedPOAEngine: megabatch scheduler feeding the JAX POA engine.
+
+The TPU analog of the reference's CUDA batch scheduler
+(reference: src/cuda/cudapolisher.cpp:226-345): windows are packed into
+dense, depth-bucketed megabatches with static shapes, the whole bucket runs
+as one jitted program per depth bucket, and windows the device flags as
+failed (capacity overflow) are re-polished on the host oracle — the same
+fallback contract as the reference's GPU->CPU path
+(src/cuda/cudapolisher.cpp:354-378).
+
+Unlike the reference there is no mutex work queue: partitioning is static
+(sorted by depth into power-of-two buckets) and the batch axis is sharded
+over the device mesh for multi-chip runs (racon_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from racon_tpu.core.window import Window, WindowType, trim_consensus
+from racon_tpu.poa.consensus_host import consensus_from_arrays
+from racon_tpu.poa.graph import decode, encode
+from racon_tpu.core.window import Window
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class BatchedPOAEngine:
+    """Polishes windows with the batched JAX POA engine."""
+
+    def __init__(self, match: int, mismatch: int, gap: int,
+                 batch_size: int = 32, p_cap: int = 8,
+                 node_factor: float = 2.5, mesh=None):
+        self.match = match
+        self.mismatch = mismatch
+        self.gap = gap
+        self.batch_size = batch_size
+        self.p_cap = p_cap
+        self.node_factor = node_factor
+        self.mesh = mesh
+        self.stats = {"windows": 0, "device": 0, "fallback": 0, "trivial": 0}
+
+    # ------------------------------------------------------------------ #
+
+    def polish_windows(self, windows: List[Window],
+                       trim: bool) -> List[Tuple[bytes, bool]]:
+        import jax.numpy as jnp
+        from racon_tpu.poa import engine as E
+
+        results: List[Optional[Tuple[bytes, bool]]] = [None] * len(windows)
+        self.stats["windows"] += len(windows)
+
+        eligible: List[int] = []
+        for i, w in enumerate(windows):
+            if len(w.sequences) < 3:
+                results[i] = (w.sequences[0], False)
+                self.stats["trivial"] += 1
+            else:
+                eligible.append(i)
+        if not eligible:
+            return results  # type: ignore[return-value]
+
+        max_backbone = max(len(windows[i].sequences[0]) for i in eligible)
+        max_layer = max(max(len(s) for s in windows[i].sequences[1:])
+                        for i in eligible)
+        L = _round_up(max(max_layer, 16), 128)
+        L0 = max_backbone
+        N = _round_up(max(int(self.node_factor * max_backbone),
+                          max_backbone + 256), 256)
+        t_cap = N + L
+
+        # depth buckets (powers of two) to bound compilation count
+        def bucket_depth(d: int) -> int:
+            b = 8
+            while b < d:
+                b *= 2
+            return b
+
+        by_depth: dict = {}
+        for i in eligible:
+            d = len(windows[i].sequences) - 1
+            by_depth.setdefault(bucket_depth(d), []).append(i)
+
+        for D, idxs in sorted(by_depth.items()):
+            for chunk_start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[chunk_start:chunk_start + self.batch_size]
+                self._run_chunk(chunk, windows, results, trim,
+                                B=len(chunk), D=D, L=L, L0=L0, N=N,
+                                t_cap=t_cap)
+
+        # host fallback for device-flagged failures
+        for i in eligible:
+            if results[i] is None:
+                from racon_tpu.poa.consensus import consensus_window
+                results[i] = consensus_window(windows[i], self.match,
+                                              self.mismatch, self.gap, trim)
+                self.stats["fallback"] += 1
+        return results  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------ #
+
+    def _run_chunk(self, chunk: List[int], windows: List[Window], results,
+                   trim: bool, B: int, D: int, L: int, L0: int, N: int,
+                   t_cap: int) -> None:
+        import jax.numpy as jnp
+        from racon_tpu.poa import engine as E
+        from racon_tpu.poa.graph import weights_from_quality
+
+        Bp = self.batch_size  # pad batch to fixed size for compile reuse
+        backbone = np.full((Bp, L0), E.PAD_CODE, np.int32)
+        backbone_w = np.zeros((Bp, L0), np.int32)
+        backbone_len = np.zeros(Bp, np.int32)
+
+        seq = np.full((D, Bp, L), E.PAD_CODE, np.int8)
+        wts = np.zeros((D, Bp, L), np.int8)
+        length = np.zeros((D, Bp), np.int32)
+        begin = np.zeros((D, Bp), np.int32)
+        end = np.zeros((D, Bp), np.int32)
+        full = np.zeros((D, Bp), bool)
+        active = np.zeros((D, Bp), bool)
+
+        for b, i in enumerate(chunk):
+            w = windows[i]
+            bb = encode(w.sequences[0])
+            backbone[b, :len(bb)] = bb
+            backbone_w[b, :len(bb)] = weights_from_quality(
+                w.qualities[0], len(bb))
+            backbone_len[b] = len(bb)
+            offset = int(0.01 * len(bb))
+
+            order = sorted(range(1, len(w.sequences)),
+                           key=lambda k: w.positions[k][0])
+            for d, k in enumerate(order):
+                s = encode(w.sequences[k])
+                seq[d, b, :len(s)] = s
+                wts[d, b, :len(s)] = weights_from_quality(
+                    w.qualities[k], len(s))
+                length[d, b] = len(s)
+                bg, en = w.positions[k]
+                begin[d, b] = bg
+                end[d, b] = en
+                full[d, b] = bg < offset and en > len(bb) - offset
+                active[d, b] = True
+
+        state = E.init_graphs(jnp.asarray(backbone), jnp.asarray(backbone_w),
+                              jnp.asarray(backbone_len), N, self.p_cap)
+        layers = E.LayerBatch(
+            seq=jnp.asarray(seq).astype(jnp.int32),
+            weights=jnp.asarray(wts).astype(jnp.int32),
+            length=jnp.asarray(length), begin=jnp.asarray(begin),
+            end=jnp.asarray(end), full=jnp.asarray(full),
+            active=jnp.asarray(active))
+
+        state = E.run_layers(state, layers, self.match, self.mismatch,
+                             self.gap, t_cap)
+
+        # download + host consensus/trim
+        codes = np.asarray(state.codes)
+        pred = np.asarray(state.pred)
+        pred_w = np.asarray(state.pred_w)
+        pred_cnt = np.asarray(state.pred_cnt)
+        cov = np.asarray(state.cov)
+        order_a = np.asarray(state.order)
+        rank_a = np.asarray(state.rank)
+        n_nodes = np.asarray(state.n_nodes)
+        failed = np.asarray(state.failed)
+
+        for b, i in enumerate(chunk):
+            if failed[b]:
+                continue  # -> oracle fallback
+            ccodes, ccov = consensus_from_arrays(
+                codes[b], pred[b], pred_w[b], pred_cnt[b], cov[b],
+                order_a[b], rank_a[b], int(n_nodes[b]))
+            consensus = decode(ccodes)
+            w = windows[i]
+            if w.type == WindowType.TGS and trim:
+                consensus = trim_consensus(consensus, ccov,
+                                           len(w.sequences), w.id, w.rank)
+            results[i] = (consensus, True)
+            self.stats["device"] += 1

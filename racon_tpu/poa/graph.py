@@ -62,6 +62,14 @@ def weights_from_quality(quality: Optional[bytes], length: int) -> np.ndarray:
     return w
 
 
+# Column sort keys are integers scaled by 2**16: renormalized column keys
+# are (column_index << 16); interpolated keys for insertion chains divide
+# the gap with integer arithmetic.  The batched TPU engine
+# (racon_tpu/poa/engine.py) uses the identical integer scheme, so oracle and
+# engine produce bit-identical graphs.
+KEY_SCALE = 1 << 16
+
+
 class POAGraph:
     """Dynamic POA graph (host oracle).  Node storage grows per layer."""
 
@@ -73,7 +81,7 @@ class POAGraph:
         self.succ_w: List[List[int]] = []   # per node: out-edge total weights
         self.cov: List[int] = []            # per node: #sequences touching node
         self.col: List[int] = []            # per node: column id
-        self.col_key: dict = {}             # column id -> sort key (float)
+        self.col_key: dict = {}             # column id -> sort key (int, scaled)
         self.col_members: dict = {}         # column id -> ordered member node ids
         self.n_sequences = 0
         # rank caches (rebuilt after every add_alignment)
@@ -84,7 +92,7 @@ class POAGraph:
     # construction
     # ------------------------------------------------------------------ #
 
-    def _add_node(self, code: int, key: float) -> int:
+    def _add_node(self, code: int, key: int) -> int:
         nid = len(self.codes)
         self.codes.append(int(code))
         self.preds.append([])
@@ -115,7 +123,7 @@ class POAGraph:
         cols = sorted(self.col_key, key=lambda c: (self.col_key[c], c))
         order = []
         for new_key, c in enumerate(cols):
-            self.col_key[c] = float(new_key)
+            self.col_key[c] = new_key * KEY_SCALE
             order.extend(self.col_members[c])
         self.order = np.asarray(order, dtype=np.int64)
         self.rank = np.zeros(len(order), dtype=np.int64)
@@ -133,7 +141,7 @@ class POAGraph:
             return
 
         # keys of matched anchors, for interpolating new-node keys
-        def node_key(nid: int) -> float:
+        def node_key(nid: int) -> int:
             return self.col_key[self.col[nid]]
 
         # resolve each consumed seq position to a node id (creating nodes),
@@ -153,52 +161,58 @@ class POAGraph:
         else:
             consumed = [(p, -1) for p in range(n)]
 
-        # pass 1: resolve matches to concrete nodes (reuse / aligned sibling /
-        # new column member)
-        resolved: List[int] = []
-        for p, nid in consumed:
-            if nid == -1:
-                resolved.append(-1)
-                continue
-            letter = int(seq[p])
-            if self.codes[nid] == letter:
-                resolved.append(nid)
-                continue
-            # search the column for a member with this letter
-            c = self.col[nid]
-            found = -1
-            for member in self.col_members[c]:
-                if self.codes[member] == letter:
-                    found = member
-                    break
-            if found != -1:
-                resolved.append(found)
-            else:
-                new_id = self._add_node(letter, 0.0)
-                # join the existing column
-                del self.col_key[new_id]
-                del self.col_members[new_id]
-                self.col[new_id] = c
-                self.col_members[c].append(new_id)
-                resolved.append(new_id)
+        # pass 1 (read-only): per consumed entry, the column key if matched
+        # (-1 marker otherwise) — interpolation anchors are known before any
+        # node is created, because matched letters always land in an
+        # existing column (as the node, a sibling, or a new member).
+        hi_sentinel = (len(self.col_key) + 1) * KEY_SCALE
+        lo_sentinel = -KEY_SCALE
+        anchor_keys = [node_key(nid) if nid != -1 else None
+                       for _, nid in consumed]
 
-        # pass 2: create insertion-chain nodes with interpolated keys
-        total_cols = float(len(self.col_key)) + 1.0
-        i = 0
-        while i < len(resolved):
-            if resolved[i] != -1:
-                i += 1
-                continue
+        def run_bounds(i: int):
+            """lo/hi keys and length of the unmatched run starting at i."""
             j = i
-            while j < len(resolved) and resolved[j] == -1:
+            while j < len(consumed) and anchor_keys[j] is None:
                 j += 1
-            lo = node_key(resolved[i - 1]) if i > 0 else -1.0
-            hi = node_key(resolved[j]) if j < len(resolved) else total_cols
-            k = j - i
-            for m in range(k):
-                key = lo + (hi - lo) * (m + 1) / (k + 1)
-                resolved[i + m] = self._add_node(int(seq[consumed[i + m][0]]), key)
-            i = j
+            lo = anchor_keys[i - 1] if i > 0 else lo_sentinel
+            hi = anchor_keys[j] if j < len(consumed) else hi_sentinel
+            return lo, hi, j - i
+
+        # pass 2: resolve/create nodes in single-pass path order (node ids
+        # are allocated in path order — the batched engine does the same).
+        resolved: List[int] = []
+        run_lo = run_hi = run_k = run_m = 0
+        for idx, (p, nid) in enumerate(consumed):
+            letter = int(seq[p])
+            if nid != -1:
+                if self.codes[nid] == letter:
+                    resolved.append(nid)
+                    continue
+                # search the column for a member with this letter
+                c = self.col[nid]
+                found = -1
+                for member in self.col_members[c]:
+                    if self.codes[member] == letter:
+                        found = member
+                        break
+                if found != -1:
+                    resolved.append(found)
+                else:
+                    new_id = self._add_node(letter, 0)
+                    # join the existing column
+                    del self.col_key[new_id]
+                    del self.col_members[new_id]
+                    self.col[new_id] = c
+                    self.col_members[c].append(new_id)
+                    resolved.append(new_id)
+            else:
+                if idx == 0 or anchor_keys[idx - 1] is not None:
+                    run_lo, run_hi, run_k = run_bounds(idx)
+                    run_m = 0
+                key = run_lo + (run_hi - run_lo) * (run_m + 1) // (run_k + 1)
+                run_m += 1
+                resolved.append(self._add_node(letter, key))
 
         # pass 3: edges + coverage
         prev = -1
@@ -349,61 +363,9 @@ class POAGraph:
         path score accumulates; the global best end node is extended to a
         sink by re-scoring with competing branches suppressed.
         """
-        n = len(self.codes)
-        scores = np.full(n, -1, dtype=np.int64)
-        preds = np.full(n, -1, dtype=np.int64)
-
-        max_v = -1
-        for r in range(n):
-            v = int(self.order[r])
-            for p, w in zip(self.preds[v], self.pred_w[v]):
-                if scores[v] < w or (scores[v] == w and
-                                     scores[preds[v]] <= scores[p]):
-                    scores[v] = w
-                    preds[v] = p
-            if preds[v] != -1:
-                scores[v] += scores[preds[v]]
-            if max_v == -1 or scores[max_v] < scores[v]:
-                max_v = v
-
-        # branch completion: while the best node has out-edges, suppress
-        # alternative branches into its successors and re-score the suffix
-        while self.succs[max_v]:
-            scores_bc = scores.copy()
-            for h in self.succs[max_v]:
-                for p in self.preds[h]:
-                    if p != max_v:
-                        scores_bc[p] = -1
-            best2, best2_score = -1, -1
-            r0 = int(self.rank[max_v])
-            for r in range(r0 + 1, n):
-                v = int(self.order[r])
-                scores_bc[v] = -1
-                preds[v] = -1
-                for p, w in zip(self.preds[v], self.pred_w[v]):
-                    if scores_bc[p] == -1:
-                        continue
-                    if scores_bc[v] < w or (scores_bc[v] == w and
-                                            scores_bc[preds[v]] <= scores_bc[p]):
-                        scores_bc[v] = w
-                        preds[v] = p
-                if preds[v] != -1:
-                    scores_bc[v] += scores_bc[preds[v]]
-                if best2_score < scores_bc[v]:
-                    best2_score = scores_bc[v]
-                    best2 = v
-            if best2 == -1:  # pragma: no cover
-                break
-            scores = scores_bc
-            max_v = best2
-
-        path = []
-        v = max_v
-        while v != -1:
-            path.append(v)
-            v = int(preds[v])
-        path.reverse()
-
+        from racon_tpu.poa.consensus_host import heaviest_bundle
+        path = heaviest_bundle(len(self.codes), self.order, self.preds,
+                               self.pred_w, self.succs, self.rank)
         codes = np.asarray([self.codes[v] for v in path], dtype=np.int8)
         cov = np.asarray([self.cov[v] for v in path], dtype=np.int32)
         return codes, cov
