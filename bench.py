@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: polish the lambda dataset end to end with the TPU engine.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: consensus throughput (windows polished per second) on the bundled
+lambda dataset (fastq reads + PAF overlaps + layout contig, racon test
+defaults w=500 m=5 x=-4 g=-8 — the config of the reference's primary golden,
+test/racon_test.cpp:86-107).
+
+Baseline: the host-oracle implementation of the same semantics measured on
+this machine's CPU (see BASELINE.md).  The reference binary itself cannot be
+built here (vendored submodules absent), so the oracle — a faithful
+re-implementation of the reference CPU path — is the stand-in.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Single-core CPU oracle throughput measured on this host (windows/s) for
+# the same workload; recorded in BASELINE.md.
+CPU_BASELINE_WINDOWS_PER_SEC = 2.99
+
+DATA = os.environ.get("RACON_TPU_BENCH_DATA", "/root/reference/test/data")
+
+
+def main() -> int:
+    from racon_tpu.pipeline import PolisherType, create_polisher
+
+    engine = os.environ.get("RACON_TPU_BENCH_ENGINE", "tpu")
+    p = create_polisher(
+        f"{DATA}/sample_reads.fastq.gz",
+        f"{DATA}/sample_overlaps.paf.gz",
+        f"{DATA}/sample_layout.fasta.gz",
+        PolisherType.kC, 500, 10.0, 0.3, True, 5, -4, -8,
+        num_threads=int(os.environ.get("RACON_TPU_BENCH_THREADS", "1")),
+        engine=engine)
+    p.initialize()
+    n_windows = len(p.windows)
+
+    # warmup run compiles all bucket programs; rebuild for the timed run
+    import copy
+    windows_snapshot = p.windows
+    eng = p._make_engine()
+    t0 = time.time()
+    eng.polish_windows(windows_snapshot, p.trim)
+    warm = time.time() - t0
+
+    t0 = time.time()
+    results = eng.polish_windows(windows_snapshot, p.trim)
+    dt = time.time() - t0
+    wps = n_windows / dt
+
+    stats = getattr(eng, "stats", {})
+    print(f"[bench] engine={engine} windows={n_windows} "
+          f"warm={warm:.2f}s timed={dt:.2f}s device={stats.get('device')} "
+          f"fallback={stats.get('fallback')} trivial={stats.get('trivial')}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "lambda_polish_windows_per_sec",
+        "value": round(wps, 3),
+        "unit": "windows/s",
+        "vs_baseline": round(wps / CPU_BASELINE_WINDOWS_PER_SEC, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,8 +34,8 @@ class BatchedPOAEngine:
     """Polishes windows with the batched JAX POA engine."""
 
     def __init__(self, match: int, mismatch: int, gap: int,
-                 batch_size: int = 32, p_cap: int = 8,
-                 node_factor: float = 2.5, mesh=None):
+                 batch_size: int = 32, p_cap: int = 12,
+                 node_factor: float = 3.5, mesh=None):
         self.match = match
         self.mismatch = mismatch
         self.gap = gap

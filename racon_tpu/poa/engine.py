@@ -139,7 +139,13 @@ def _forward_dp(state: GraphState, layer: LayerBatch, match: int,
                 mismatch: int, gap: int, rb: jnp.ndarray, re: jnp.ndarray):
     """NW-on-DAG forward pass over topological ranks.
 
-    Returns (H [B,N+1,L+1] i32, bp [B,N+1,L+1] i8, has_succ [B,N+1] bool).
+    Score/backpointer rows are indexed by RANK, not node id, so the per-step
+    write is a pure dynamic_update_slice at a batch-uniform index (fast,
+    in-place in the loop) rather than a scatter.  Pred rows are gathered by
+    rank.  Slot N is the virtual source row.
+
+    Returns (H [N+1,B,L+1] i32, bp [N+1,B,L+1] i8, has_succ [B,N+1] bool —
+    has_succ indexed by node id).
     Backpointer encoding: diag via pred slot p -> p; vertical -> PV + p;
     horizontal -> 2*PV; slot P means the virtual source row.
     """
@@ -150,17 +156,31 @@ def _forward_dp(state: GraphState, layer: LayerBatch, match: int,
     barange = jnp.arange(B)
 
     jgap = gap * jnp.arange(L + 1, dtype=jnp.int32)          # [L+1]
-    H0 = jnp.full((B, N + 1, L + 1), NEG_INF, jnp.int32)
-    H0 = H0.at[:, N, :].set(jnp.broadcast_to(jgap, (B, L + 1)))
-    bp0 = jnp.zeros((B, N + 1, L + 1), jnp.int8)
-    succ0 = jnp.zeros((B, N + 1), bool)
+    H0 = jnp.full((N + 1, B, L + 1), NEG_INF, jnp.int32)
+    H0 = H0.at[N].set(jnp.broadcast_to(jgap, (B, L + 1)))
+    bp0 = jnp.zeros((N + 1, B, L + 1), jnp.int8)
+
+    # successors-in-range, one vectorized pass (for sink detection)
+    nar = jnp.arange(N, dtype=jnp.int32)
+    u_in_range = (state.rank[:, :N] >= rb[:, None]) & \
+                 (state.rank[:, :N] <= re[:, None]) & \
+                 (layer.active & ~state.failed)[:, None]      # [B, N]
+    pred_all = state.pred[:, :N, :]                           # [B, N, P]
+    p_rank = jnp.take_along_axis(
+        state.rank, pred_all.reshape(B, N * P), axis=1).reshape(B, N, P)
+    edge_ok = (pred_all < N) & (p_rank >= rb[:, None, None]) & \
+              (p_rank <= re[:, None, None]) & u_in_range[:, :, None]
+    has_succ = jnp.zeros((B, N + 1), bool)
+    has_succ = has_succ.at[
+        barange[:, None, None],
+        jnp.where(edge_ok, pred_all, N)].set(True)
 
     m_i = jnp.int32(match)
     x_i = jnp.int32(mismatch)
     g_i = jnp.int32(gap)
 
     def body(r, carry):
-        H, bp, has_succ = carry
+        H, bp = carry
         v = state.order[:, r]                                # [B]
         process = layer.active & ~state.failed & (rb <= r) & (r <= re)
 
@@ -170,7 +190,10 @@ def _forward_dp(state: GraphState, layer: LayerBatch, match: int,
         valid = (pred_ids < N) & (pr >= rb[:, None]) & (pr <= re[:, None])
         use_virtual = ~valid.any(axis=1)                     # [B]
 
-        rows = H[barange[:, None], pred_ids]                 # [B, P, L+1]
+        # gather pred rows by rank from the flat [(N+1)*B, L+1] view
+        pr_safe = jnp.where(valid, pr, N)
+        flat = H.reshape((N + 1) * B, L + 1)
+        rows = flat[pr_safe * B + barange[:, None]]          # [B, P, L+1]
         rows = jnp.where(valid[:, :, None], rows, NEG_INF)
         vrow = jnp.where(use_virtual[:, None], jgap[None, :], NEG_INF)
         rows = jnp.concatenate([rows, vrow[:, None, :]], axis=1)  # [B,PV,L+1]
@@ -197,20 +220,17 @@ def _forward_dp(state: GraphState, layer: LayerBatch, match: int,
             jnp.where(any_vert, PV + jnp.argmax(vert_ok, axis=1), 2 * PV))
         bp_row = bp_row.astype(jnp.int8)
 
-        vw = jnp.where(process, v, N)
-        H = H.at[barange, vw, :].set(
-            jnp.where(process[:, None], row, H[barange, vw, :]))
-        bp = bp.at[barange, vw, :].set(
-            jnp.where(process[:, None], bp_row, bp[barange, vw, :]))
-        mark = valid & process[:, None]
-        has_succ = has_succ.at[
-            barange[:, None], jnp.where(mark, pred_ids, N)].set(True)
-        return H, bp, has_succ
+        old_row = jax.lax.dynamic_slice(H, (r, 0, 0), (1, B, L + 1))[0]
+        old_bp = jax.lax.dynamic_slice(bp, (r, 0, 0), (1, B, L + 1))[0]
+        H = jax.lax.dynamic_update_slice(
+            H, jnp.where(process[:, None], row, old_row)[None], (r, 0, 0))
+        bp = jax.lax.dynamic_update_slice(
+            bp, jnp.where(process[:, None], bp_row, old_bp)[None], (r, 0, 0))
+        return H, bp
 
-    r_lo = jnp.min(jnp.where(layer.active, rb, jnp.int32(N)))
-    r_hi = jnp.max(jnp.where(layer.active, re, jnp.int32(-1)))
-    H, bp, has_succ = jax.lax.fori_loop(r_lo, r_hi + 1, body,
-                                        (H0, bp0, succ0))
+    r_lo = jnp.min(jnp.where(layer.active & ~state.failed, rb, jnp.int32(N)))
+    r_hi = jnp.max(jnp.where(layer.active & ~state.failed, re, jnp.int32(-1)))
+    H, bp = jax.lax.fori_loop(r_lo, r_hi + 1, body, (H0, bp0))
     return H, bp, has_succ
 
 
@@ -232,7 +252,12 @@ def _traceback(state: GraphState, layer: LayerBatch, H, bp, has_succ,
     node_rank = state.rank[:, :N]                             # [B, N]
     in_range = (node_rank >= rb[:, None]) & (node_rank <= re[:, None])
     sink_ok = in_range & ~has_succ[:, :N]
-    Hl = H[barange[:, None], jnp.arange(N)[None, :], layer.length[:, None]]
+    # H is rank-indexed [N+1, B, L+1]: fetch H[rank(v), b, length(b)]
+    hflat = H.reshape(-1)
+    rank_safe = jnp.where(sink_ok, node_rank, N)
+    hidx = (rank_safe * B + barange[:, None]) * (L + 1) + \
+        layer.length[:, None]
+    Hl = hflat[hidx]                                          # [B, N]
     comp = jnp.where(sink_ok, Hl * jnp.int32(4096) +
                      (jnp.int32(N - 1) - node_rank), jnp.int32(-2**31 + 1))
     best_v = jnp.argmax(comp, axis=1).astype(jnp.int32)       # [B]
@@ -244,10 +269,14 @@ def _traceback(state: GraphState, layer: LayerBatch, H, bp, has_succ,
         v, j, t, done, pn, pp = c
         return jnp.any(~done & (t < t_cap))
 
+    bpflat = bp.reshape(-1)
+
     def step(c):
         v, j, t, done, pn, pp = c
         at_virtual = v == N
-        b = bp[barange, v, j]                                 # [B] i8
+        vr = state.rank[barange, v]                           # rank of v
+        vr = jnp.where(at_virtual, N, vr)
+        b = bpflat[(vr * B + barange) * (L + 1) + j]          # [B] i8
         move = b.astype(jnp.int32)
         is_diag = ~at_virtual & (move < PV)
         is_vert = ~at_virtual & (move >= PV) & (move < 2 * PV)

@@ -9,6 +9,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The environment's sitecustomize registers the axon TPU backend and pins
+# jax_platforms to it; override back to CPU for tests.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 REFERENCE_DATA = "/root/reference/test/data"
 
 import pytest
