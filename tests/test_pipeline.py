@@ -1,0 +1,195 @@
+"""Pipeline-level semantics on small synthetic data: ingest dedup, overlap
+filters, kC longest-overlap dedup, kF mode, stitching tags."""
+
+import gzip
+import os
+import random
+
+import pytest
+
+from racon_tpu.pipeline import PolisherType, create_polisher
+
+
+def write_fasta(path, seqs):
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "wt") as f:
+        for name, data in seqs:
+            f.write(f">{name}\n{data}\n")
+
+
+def write_fastq(path, seqs):
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "wt") as f:
+        for name, data, qual in seqs:
+            f.write(f"@{name}\n{data}\n+\n{qual}\n")
+
+
+def write_paf(path, rows):
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "wt") as f:
+        for r in rows:
+            f.write("\t".join(str(x) for x in r) + "\n")
+
+
+def noisy(s, rate, rng):
+    out = []
+    for c in s:
+        r = rng.random()
+        if r < rate / 3:
+            continue
+        elif r < 2 * rate / 3:
+            out.append(rng.choice("ACGT"))
+            out.append(c)
+        elif r < rate:
+            out.append(rng.choice("ACGT"))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+@pytest.fixture
+def synth(tmp_path):
+    rng = random.Random(11)
+    true = "".join(rng.choice("ACGT") for _ in range(400))
+    target = noisy(true, 0.08, rng)
+    reads = [noisy(true, 0.08, rng) for _ in range(8)]
+
+    tpath = str(tmp_path / "target.fasta")
+    rpath = str(tmp_path / "reads.fasta")
+    opath = str(tmp_path / "ovl.paf")
+    write_fasta(tpath, [("ctg", target)])
+    write_fasta(rpath, [(str(i + 1), r) for i, r in enumerate(reads)])
+    write_paf(opath, [
+        (i + 1, len(r), 0, len(r), "+", "ctg", len(target), 0, len(target),
+         len(r), len(target), 60)
+        for i, r in enumerate(reads)])
+    return dict(true=true, target=target, reads=reads,
+                tpath=tpath, rpath=rpath, opath=opath)
+
+
+def test_polish_improves_target(synth):
+    from racon_tpu.align.edit_distance import edit_distance
+    p = create_polisher(synth["rpath"], synth["opath"], synth["tpath"],
+                        PolisherType.kC, 100, 10.0, 0.3, True, 3, -5, -4, 1,
+                        engine="oracle")
+    p.initialize()
+    dst = p.polish(True)
+    assert len(dst) == 1
+    before = edit_distance(synth["target"].encode(), synth["true"].encode())
+    after = edit_distance(dst[0].data, synth["true"].encode())
+    assert after < before // 2
+
+
+def test_output_tags(synth):
+    p = create_polisher(synth["rpath"], synth["opath"], synth["tpath"],
+                        PolisherType.kC, 100, 10.0, 0.3, True, 3, -5, -4, 1,
+                        engine="oracle")
+    p.initialize()
+    dst = p.polish(True)
+    name = dst[0].name
+    assert name.startswith("ctg LN:i:")
+    assert " RC:i:8 " in name + " "
+    assert " XC:f:1.000000" in name
+
+
+def test_drop_unpolished(tmp_path, synth):
+    # a target with no overlaps is dropped unless include_unpolished
+    t2 = str(tmp_path / "targets2.fasta")
+    write_fasta(t2, [("ctg", synth["target"]), ("orphan", "ACGT" * 50)])
+    p = create_polisher(synth["rpath"], synth["opath"], t2,
+                        PolisherType.kC, 100, 10.0, 0.3, True, 3, -5, -4, 1,
+                        engine="oracle")
+    p.initialize()
+    dst = p.polish(True)
+    assert len(dst) == 1
+
+    p = create_polisher(synth["rpath"], synth["opath"], t2,
+                        PolisherType.kC, 100, 10.0, 0.3, True, 3, -5, -4, 1,
+                        engine="oracle")
+    p.initialize()
+    dst = p.polish(False)
+    assert len(dst) == 2
+    assert dst[1].name.startswith("orphan")
+    assert " XC:f:0.000000" in dst[1].name
+
+
+def test_kc_keeps_longest_overlap_per_query(synth):
+    # duplicate the first read's overlap with a shorter span; kC keeps longest
+    rows = []
+    with open(synth["opath"]) as f:
+        lines = [l.split("\t") for l in f.read().splitlines()]
+    extra = lines[0][:]
+    extra[2], extra[3] = "0", "50"   # short overlap for read 1
+    extra[7], extra[8] = "0", "50"
+    rows = [lines[0], extra] + lines[1:]
+    import gzip
+    with open(synth["opath"], "w") as f:
+        for r in rows:
+            f.write("\t".join(r) + "\n")
+
+    p = create_polisher(synth["rpath"], synth["opath"], synth["tpath"],
+                        PolisherType.kC, 100, 10.0, 0.3, True, 3, -5, -4, 1,
+                        engine="oracle")
+    p.initialize()
+    # 8 overlaps survive (the short duplicate dropped) -> RC:i:8
+    dst = p.polish(True)
+    assert " RC:i:8 " in dst[0].name + " "
+
+
+def test_fragment_correction_mode(tmp_path):
+    rng = random.Random(3)
+    true = "".join(rng.choice("ACGT") for _ in range(300))
+    reads = [noisy(true, 0.1, rng) for _ in range(6)]
+    rpath = str(tmp_path / "reads.fasta")
+    write_fasta(rpath, [(str(i + 1), r) for i, r in enumerate(reads)])
+    # all-vs-all overlaps (dual)
+    rows = []
+    for i in range(len(reads)):
+        for j in range(len(reads)):
+            if i == j:
+                continue
+            rows.append((i + 1, len(reads[i]), 0, len(reads[i]), "+",
+                         j + 1, len(reads[j]), 0, len(reads[j]),
+                         min(len(reads[i]), len(reads[j])),
+                         max(len(reads[i]), len(reads[j])), 60))
+    opath = str(tmp_path / "ava.paf")
+    write_paf(opath, rows)
+
+    p = create_polisher(rpath, opath, rpath, PolisherType.kF,
+                        500, 10.0, 0.3, True, 1, -1, -1, 1, engine="oracle")
+    p.initialize()
+    dst = p.polish(False)
+    assert len(dst) == 6
+    # kF output names carry the 'r' marker before the tags
+    assert all(d.name.startswith(f"{i + 1}r LN:i:")
+               for i, d in enumerate(dst))
+    # corrected reads should be closer to truth than raw reads on average
+    from racon_tpu.align.edit_distance import edit_distance
+    raw = sum(edit_distance(r.encode(), true.encode()) for r in reads)
+    cor = sum(edit_distance(d.data, true.encode()) for d in dst)
+    assert cor < raw
+
+
+def test_quality_threshold_filters_layers(tmp_path):
+    rng = random.Random(5)
+    true = "".join(rng.choice("ACGT") for _ in range(200))
+    target = noisy(true, 0.1, rng)
+    good = [noisy(true, 0.1, rng) for _ in range(4)]
+    bad = [noisy(true, 0.4, rng) for _ in range(4)]
+    tpath = str(tmp_path / "t.fasta")
+    rpath = str(tmp_path / "r.fastq")
+    write_fasta(tpath, [("ctg", target)])
+    seqs = [(str(i + 1), r, "I" * len(r)) for i, r in enumerate(good)]
+    seqs += [(str(i + 5), r, '"' * len(r)) for i, r in enumerate(bad)]
+    write_fastq(rpath, seqs)
+    rows = [(i + 1, len(r), 0, len(r), "+", "ctg", len(target), 0,
+             len(target), len(r), len(target), 60)
+            for i, r in enumerate(good + bad)]
+    opath = str(tmp_path / "o.paf")
+    write_paf(opath, rows)
+
+    p = create_polisher(rpath, opath, tpath, PolisherType.kC,
+                        500, 10.0, 0.3, True, 3, -5, -4, 1, engine="oracle")
+    p.initialize()
+    # only the 4 high-quality layers pass the q>=10 mean-quality filter
+    assert p.windows[0].n_layers - 1 == 4
