@@ -20,9 +20,10 @@ import os
 import sys
 import time
 
-# Single-core CPU oracle throughput measured on this host (windows/s) for
-# the same workload; recorded in BASELINE.md.
-CPU_BASELINE_WINDOWS_PER_SEC = 2.99
+# Single-core CPU throughput of the native C++ oracle (spoa-class POA
+# implementation with identical semantics) measured on this host for the
+# same workload; recorded in BASELINE.md.
+CPU_BASELINE_WINDOWS_PER_SEC = 38.2
 
 DATA = os.environ.get("RACON_TPU_BENCH_DATA", "/root/reference/test/data")
 

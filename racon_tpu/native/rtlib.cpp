@@ -200,7 +200,476 @@ int64_t myers_edit_distance(const uint8_t* q, int64_t n, const uint8_t* t,
 
 struct BatchResult {
   std::vector<std::string> items;
+  std::vector<uint8_t> flags;
 };
+
+// ------------------------------------------------------------------------ //
+// POA consensus oracle — exact C++ mirror of racon_tpu/poa/graph.py.
+// Same integer column keys, node numbering, tie rules, and consensus
+// traversal as the Python oracle and the batched JAX engine, so all three
+// implementations are bit-identical.
+// ------------------------------------------------------------------------ //
+
+constexpr int64_t kKeyScale = 1 << 16;
+
+struct PoaGraph {
+  std::vector<int8_t> codes;
+  std::vector<std::vector<int32_t>> preds;
+  std::vector<std::vector<int64_t>> pred_w;
+  std::vector<std::vector<int32_t>> succs;
+  std::vector<int32_t> cov;
+  std::vector<int32_t> col;                     // node -> column id
+  std::vector<int64_t> col_key;                 // column id -> key (or -1)
+  std::vector<std::vector<int32_t>> col_members;
+  int64_t n_cols = 0;
+  std::vector<int32_t> order;                   // rank -> node
+  std::vector<int32_t> rank;                    // node -> rank
+
+  int32_t add_node(int8_t code, int64_t key) {
+    int32_t id = static_cast<int32_t>(codes.size());
+    codes.push_back(code);
+    preds.emplace_back();
+    pred_w.emplace_back();
+    succs.emplace_back();
+    cov.push_back(0);
+    col.push_back(id);
+    col_key.push_back(key);
+    col_members.push_back({id});
+    return id;
+  }
+
+  void add_edge(int32_t tail, int32_t head, int64_t weight) {
+    auto& p = preds[head];
+    for (size_t k = 0; k < p.size(); ++k) {
+      if (p[k] == tail) {
+        pred_w[head][k] += weight;
+        return;
+      }
+    }
+    p.push_back(tail);
+    pred_w[head].push_back(weight);
+    succs[tail].push_back(head);
+  }
+
+  void rebuild_ranks() {
+    // sort columns by (key, col_id); emit members in insertion order
+    std::vector<int32_t> cols;
+    for (int32_t c = 0; c < static_cast<int32_t>(col_key.size()); ++c) {
+      if (col[c] == c) cols.push_back(c);  // node is its own column rep
+    }
+    std::sort(cols.begin(), cols.end(), [&](int32_t a, int32_t b) {
+      return col_key[a] != col_key[b] ? col_key[a] < col_key[b] : a < b;
+    });
+    order.clear();
+    int64_t new_key = 0;
+    for (int32_t c : cols) {
+      col_key[c] = new_key++ * kKeyScale;
+      for (int32_t m : col_members[c]) order.push_back(m);
+    }
+    n_cols = new_key;
+    rank.assign(codes.size(), 0);
+    for (int32_t r = 0; r < static_cast<int32_t>(order.size()); ++r) {
+      rank[order[r]] = r;
+    }
+  }
+
+  int64_t node_key(int32_t nid) const { return col_key[col[nid]]; }
+
+  // NW-on-DAG alignment; returns (node_id, seq_pos) pairs, -1 for gaps.
+  // Mirrors POAGraph.align (graph.py).
+  void align(const int8_t* seq, int64_t L, int32_t m, int32_t x, int32_t g,
+             int32_t begin_node, int32_t end_node,
+             std::vector<std::pair<int32_t, int32_t>>* out) const {
+    out->clear();
+    const int64_t n = codes.size();
+    int64_t rb = 0, re = n - 1;
+    if (begin_node >= 0) {
+      rb = rank[begin_node];
+      re = rank[end_node];
+      if (rb > re) std::swap(rb, re);
+    }
+    const int32_t NEG = INT32_MIN / 2;
+
+    std::vector<uint8_t> in_range(n, 0);
+    for (int64_t r = rb; r <= re; ++r) in_range[order[r]] = 1;
+
+    std::vector<int32_t> jgap(L + 1);
+    for (int64_t j = 0; j <= L; ++j) jgap[j] = static_cast<int32_t>(g * j);
+
+    std::vector<std::vector<int32_t>> H(n);
+    std::vector<uint8_t> has_succ(n, 0);
+    std::vector<std::vector<int32_t>> preds_in(n);
+
+    for (int64_t r = rb; r <= re; ++r) {
+      const int32_t v = order[r];
+      auto& pin = preds_in[v];
+      for (int32_t p : preds[v]) {
+        if (in_range[p]) pin.push_back(p);
+      }
+      std::vector<int32_t> row(L + 1, NEG);
+      auto fold = [&](const std::vector<int32_t>& hp) {
+        const int8_t cv = codes[v];
+        for (int64_t j = 1; j <= L; ++j) {
+          const int32_t prof = (seq[j - 1] == cv) ? m : x;
+          const int32_t diag = hp[j - 1] + prof;
+          if (diag > row[j]) row[j] = diag;
+        }
+        for (int64_t j = 0; j <= L; ++j) {
+          const int32_t vert = hp[j] + g;
+          if (vert > row[j]) row[j] = vert;
+        }
+      };
+      if (pin.empty()) {
+        fold(jgap);
+      } else {
+        for (int32_t p : pin) fold(H[p]);
+      }
+      // horizontal closure: prefix max of (row - j*g) + j*g
+      int32_t best = row[0];
+      for (int64_t j = 1; j <= L; ++j) {
+        const int32_t c = row[j] - jgap[j];
+        if (c > best) best = c;
+        row[j] = best + jgap[j];
+      }
+      H[v] = std::move(row);
+      for (int32_t p : pin) has_succ[p] = 1;
+    }
+
+    int32_t best_v = -1;
+    int32_t best_score = NEG;
+    for (int64_t r = rb; r <= re; ++r) {
+      const int32_t v = order[r];
+      if (has_succ[v]) continue;
+      if (H[v][L] > best_score) {
+        best_score = H[v][L];
+        best_v = v;
+      }
+    }
+
+    // traceback: diag (preds in order), then vert, then horiz
+    int32_t v = best_v;
+    int64_t j = L;
+    bool at_virtual = false;
+    while (!at_virtual || j > 0) {
+      if (at_virtual) {
+        out->emplace_back(-1, static_cast<int32_t>(j - 1));
+        --j;
+        continue;
+      }
+      const auto& pin = preds_in[v];
+      bool moved = false;
+      if (j > 0) {
+        const int32_t prof = (seq[j - 1] == codes[v]) ? m : x;
+        if (pin.empty()) {
+          if (H[v][j] == jgap[j - 1] + prof) {
+            out->emplace_back(v, static_cast<int32_t>(j - 1));
+            --j;
+            at_virtual = true;
+            moved = true;
+          }
+        } else {
+          for (int32_t p : pin) {
+            if (H[v][j] == H[p][j - 1] + prof) {
+              out->emplace_back(v, static_cast<int32_t>(j - 1));
+              --j;
+              v = p;
+              moved = true;
+              break;
+            }
+          }
+        }
+      }
+      if (moved) continue;
+      if (pin.empty()) {
+        if (H[v][j] == jgap[j] + g) {
+          out->emplace_back(v, -1);
+          at_virtual = true;
+          if (j == 0) break;
+          continue;
+        }
+      } else {
+        for (int32_t p : pin) {
+          if (H[v][j] == H[p][j] + g) {
+            out->emplace_back(v, -1);
+            v = p;
+            moved = true;
+            break;
+          }
+        }
+        if (moved) continue;
+      }
+      if (j > 0 && H[v][j] == H[v][j - 1] + g) {
+        out->emplace_back(-1, static_cast<int32_t>(j - 1));
+        --j;
+        continue;
+      }
+      fprintf(stderr, "[rtlib::PoaGraph::align] traceback failed\n");
+      std::abort();
+    }
+    std::reverse(out->begin(), out->end());
+  }
+
+  // Mirrors POAGraph.add_alignment (graph.py): single-pass node numbering,
+  // integer key interpolation, edge weights w[i-1]+w[i], coverage +1.
+  void add_alignment(const std::vector<std::pair<int32_t, int32_t>>& alignment,
+                     const int8_t* seq, int64_t n, const int32_t* weights) {
+    if (n == 0) return;
+
+    std::vector<std::pair<int32_t, int32_t>> consumed;  // (pos, node)
+    if (!alignment.empty()) {
+      int32_t first = INT32_MAX, last = -1;
+      for (const auto& a : alignment) {
+        if (a.second != -1) {
+          first = std::min(first, a.second);
+          last = std::max(last, a.second);
+        }
+      }
+      for (int32_t p = 0; p < first; ++p) consumed.emplace_back(p, -1);
+      for (const auto& a : alignment) {
+        if (a.second != -1) consumed.emplace_back(a.second, a.first);
+      }
+      for (int32_t p = last + 1; p < n; ++p) consumed.emplace_back(p, -1);
+    } else {
+      for (int32_t p = 0; p < n; ++p) consumed.emplace_back(p, -1);
+    }
+
+    const int64_t hi_sentinel = (n_cols + 1) * kKeyScale;
+    const int64_t lo_sentinel = -kKeyScale;
+    const size_t T = consumed.size();
+    std::vector<int64_t> anchor_keys(T, -1);
+    std::vector<uint8_t> is_anchor(T, 0);
+    for (size_t i = 0; i < T; ++i) {
+      if (consumed[i].second != -1) {
+        anchor_keys[i] = node_key(consumed[i].second);
+        is_anchor[i] = 1;
+      }
+    }
+
+    std::vector<int32_t> resolved(T, -1);
+    int64_t run_lo = 0, run_hi = 0, run_k = 0, run_m = 0;
+    for (size_t i = 0; i < T; ++i) {
+      const int32_t p = consumed[i].first;
+      const int32_t nid = consumed[i].second;
+      const int8_t letter = seq[p];
+      if (nid != -1) {
+        if (codes[nid] == letter) {
+          resolved[i] = nid;
+          continue;
+        }
+        const int32_t c = col[nid];
+        int32_t found = -1;
+        for (int32_t mem : col_members[c]) {
+          if (codes[mem] == letter) {
+            found = mem;
+            break;
+          }
+        }
+        if (found != -1) {
+          resolved[i] = found;
+        } else {
+          const int32_t new_id = add_node(letter, 0);
+          col_key[new_id] = -1;
+          col_members[new_id].clear();
+          col[new_id] = c;
+          col_members[c].push_back(new_id);
+          resolved[i] = new_id;
+        }
+      } else {
+        if (i == 0 || is_anchor[i - 1]) {
+          size_t jj = i;
+          while (jj < T && !is_anchor[jj]) ++jj;
+          run_lo = (i > 0) ? anchor_keys[i - 1] : lo_sentinel;
+          run_hi = (jj < T) ? anchor_keys[jj] : hi_sentinel;
+          run_k = static_cast<int64_t>(jj - i);
+          run_m = 0;
+        }
+        const int64_t key =
+            run_lo + (run_hi - run_lo) * (run_m + 1) / (run_k + 1);
+        ++run_m;
+        resolved[i] = add_node(letter, key);
+      }
+    }
+
+    int32_t prev = -1;
+    for (size_t i = 0; i < T; ++i) {
+      const int32_t cur = resolved[i];
+      const int32_t p = consumed[i].first;
+      ++cov[cur];
+      if (prev != -1) {
+        add_edge(prev, cur,
+                 static_cast<int64_t>(weights[p - 1]) + weights[p]);
+      }
+      prev = cur;
+    }
+    rebuild_ranks();
+  }
+
+  // Heaviest-bundle consensus with branch completion
+  // (mirrors consensus_host.heaviest_bundle).
+  void generate_consensus(std::vector<int32_t>* path) const {
+    const int64_t n = codes.size();
+    std::vector<int64_t> scores(n, -1);
+    std::vector<int32_t> pred_choice(n, -1);
+
+    // pred_choice is never -1 when the tie branch is reached (first edge
+    // weight >= 0 always beats the -1 init), but mirror Python's scores[-1]
+    // (= last element) exactly for safety.
+    auto sc = [&](const std::vector<int64_t>& s, int32_t idx) {
+      return idx == -1 ? s[n - 1] : s[idx];
+    };
+
+    int32_t max_v = -1;
+    for (int64_t r = 0; r < n; ++r) {
+      const int32_t v = order[r];
+      for (size_t k = 0; k < preds[v].size(); ++k) {
+        const int32_t p = preds[v][k];
+        const int64_t w = pred_w[v][k];
+        if (scores[v] < w ||
+            (scores[v] == w && sc(scores, pred_choice[v]) <= scores[p])) {
+          scores[v] = w;
+          pred_choice[v] = p;
+        }
+      }
+      if (pred_choice[v] != -1) scores[v] += scores[pred_choice[v]];
+      if (max_v == -1 || scores[max_v] < scores[v]) max_v = v;
+    }
+
+    while (!succs[max_v].empty()) {
+      std::vector<int64_t> scores_bc(scores);
+      for (int32_t h : succs[max_v]) {
+        for (int32_t p : preds[h]) {
+          if (p != max_v) scores_bc[p] = -1;
+        }
+      }
+      int32_t best2 = -1;
+      int64_t best2_score = -1;
+      const int64_t r0 = rank[max_v];
+      for (int64_t r = r0 + 1; r < n; ++r) {
+        const int32_t v = order[r];
+        scores_bc[v] = -1;
+        pred_choice[v] = -1;
+        for (size_t k = 0; k < preds[v].size(); ++k) {
+          const int32_t p = preds[v][k];
+          const int64_t w = pred_w[v][k];
+          if (scores_bc[p] == -1) continue;
+          if (scores_bc[v] < w ||
+              (scores_bc[v] == w &&
+               sc(scores_bc, pred_choice[v]) <= scores_bc[p])) {
+            scores_bc[v] = w;
+            pred_choice[v] = p;
+          }
+        }
+        if (pred_choice[v] != -1) scores_bc[v] += scores_bc[pred_choice[v]];
+        if (best2_score < scores_bc[v]) {
+          best2_score = scores_bc[v];
+          best2 = v;
+        }
+      }
+      if (best2 == -1) break;
+      scores = std::move(scores_bc);
+      max_v = best2;
+    }
+
+    path->clear();
+    int32_t v = max_v;
+    while (v != -1) {
+      path->push_back(v);
+      v = pred_choice[v];
+    }
+    std::reverse(path->begin(), path->end());
+  }
+};
+
+const int8_t* kEncode = [] {
+  static int8_t table[256];
+  for (int i = 0; i < 256; ++i) table[i] = 4;
+  table['A'] = 0;
+  table['C'] = 1;
+  table['G'] = 2;
+  table['T'] = 3;
+  return table;
+}();
+
+constexpr char kDecode[] = "ACGTN";
+
+// One window consensus, mirroring racon_tpu/poa/consensus.py.
+std::string polish_one_window(
+    const uint8_t* backbone, int64_t bb_len, const uint8_t* bb_qual,
+    int64_t n_layers, const uint8_t** seqs, const int64_t* seq_lens,
+    const uint8_t** quals, const int32_t* begins, const int32_t* ends,
+    int32_t m, int32_t x, int32_t g, bool trim, bool* polished) {
+  if (n_layers + 1 < 3) {
+    *polished = false;
+    return std::string(reinterpret_cast<const char*>(backbone), bb_len);
+  }
+  *polished = true;
+
+  auto encode = [](const uint8_t* s, int64_t len) {
+    std::vector<int8_t> out(len);
+    for (int64_t i = 0; i < len; ++i) out[i] = kEncode[s[i]];
+    return out;
+  };
+  auto make_weights = [](const uint8_t* q, int64_t len) {
+    std::vector<int32_t> w(len, 1);
+    if (q != nullptr) {
+      for (int64_t i = 0; i < len; ++i) w[i] = static_cast<int32_t>(q[i]) - 33;
+    }
+    return w;
+  };
+
+  PoaGraph graph;
+  {
+    auto bb = encode(backbone, bb_len);
+    auto w = make_weights(bb_qual, bb_len);
+    std::vector<std::pair<int32_t, int32_t>> empty;
+    graph.add_alignment(empty, bb.data(), bb_len, w.data());
+  }
+
+  // stable sort layers by begin
+  std::vector<int64_t> layer_order(n_layers);
+  for (int64_t i = 0; i < n_layers; ++i) layer_order[i] = i;
+  std::stable_sort(layer_order.begin(), layer_order.end(),
+                   [&](int64_t a, int64_t b) { return begins[a] < begins[b]; });
+
+  const uint32_t offset = static_cast<uint32_t>(0.01 * bb_len);
+  std::vector<std::pair<int32_t, int32_t>> alignment;
+  for (int64_t li : layer_order) {
+    auto s = encode(seqs[li], seq_lens[li]);
+    auto w = make_weights(quals[li], seq_lens[li]);
+    const bool full = begins[li] < static_cast<int32_t>(offset) &&
+                      ends[li] > static_cast<int32_t>(bb_len - offset);
+    if (full) {
+      graph.align(s.data(), seq_lens[li], m, x, g, -1, -1, &alignment);
+    } else {
+      graph.align(s.data(), seq_lens[li], m, x, g, begins[li], ends[li],
+                  &alignment);
+    }
+    graph.add_alignment(alignment, s.data(), seq_lens[li], w.data());
+  }
+
+  std::vector<int32_t> path;
+  graph.generate_consensus(&path);
+  std::string consensus;
+  consensus.reserve(path.size());
+  for (int32_t v : path) consensus.push_back(kDecode[graph.codes[v]]);
+
+  if (trim) {
+    const int64_t average = n_layers / 2;  // (n_sequences - 1) / 2
+    int64_t b = 0, e = static_cast<int64_t>(path.size()) - 1;
+    while (b < static_cast<int64_t>(path.size()) &&
+           graph.cov[path[b]] < average) {
+      ++b;
+    }
+    while (e >= 0 && graph.cov[path[e]] < average) --e;
+    if (b < e) {
+      consensus = consensus.substr(b, e - b + 1);
+    } else {
+      fprintf(stderr, "[rtlib::polish_one_window] warning: window might be "
+                      "chimeric!\n");
+    }
+  }
+  return consensus;
+}
 
 }  // namespace
 
@@ -248,6 +717,65 @@ void rt_result_free(void* handle) {
 int64_t rt_edit_distance(const uint8_t* q, int64_t n, const uint8_t* t,
                          int64_t m) {
   return myers_edit_distance(q, n, t, m);
+}
+
+uint8_t rt_result_flag(void* handle, int64_t i) {
+  return static_cast<BatchResult*>(handle)->flags[i];
+}
+
+// Polish a batch of windows with the C++ POA oracle.
+//
+// Layout: window w has layers [layer_off[w], layer_off[w+1]).  Backbones and
+// layer sequences/qualities are concatenated buffers with offset arrays;
+// a layer with qual_off[i+1] == qual_off[i] has no quality (weights = 1).
+// trim[w] combines the window-type and trim policy (kTGS && trim).
+void* rt_polish_windows(
+    int64_t n_windows, const int64_t* layer_off,
+    const uint8_t* bb_buf, const int64_t* bb_off,
+    const uint8_t* bbq_buf, const int64_t* bbq_off,
+    const uint8_t* seq_buf, const int64_t* seq_off,
+    const uint8_t* qual_buf, const int64_t* qual_off,
+    const int32_t* begins, const int32_t* ends, const uint8_t* trim,
+    int32_t m, int32_t x, int32_t g, int nthreads) {
+  auto* result = new BatchResult();
+  result->items.resize(n_windows);
+  result->flags.resize(n_windows);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    std::vector<const uint8_t*> seqs, quals;
+    std::vector<int64_t> lens;
+    while (true) {
+      const int64_t w = next.fetch_add(1);
+      if (w >= n_windows) break;
+      const int64_t lo = layer_off[w], hi = layer_off[w + 1];
+      const int64_t n_layers = hi - lo;
+      seqs.clear();
+      quals.clear();
+      lens.clear();
+      for (int64_t i = lo; i < hi; ++i) {
+        seqs.push_back(seq_buf + seq_off[i]);
+        lens.push_back(seq_off[i + 1] - seq_off[i]);
+        quals.push_back(qual_off[i + 1] > qual_off[i]
+                            ? qual_buf + qual_off[i]
+                            : nullptr);
+      }
+      bool polished = false;
+      result->items[w] = polish_one_window(
+          bb_buf + bb_off[w], bb_off[w + 1] - bb_off[w],
+          bbq_buf + bbq_off[w], n_layers, seqs.data(), lens.data(),
+          quals.data(), begins + lo, ends + lo, m, x, g, trim[w] != 0,
+          &polished);
+      result->flags[w] = polished ? 1 : 0;
+    }
+  };
+  if (nthreads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nthreads; ++i) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return result;
 }
 
 }  // extern "C"

@@ -27,6 +27,21 @@ _lib.rt_result_free.argtypes = [ctypes.c_void_p]
 _lib.rt_edit_distance.restype = ctypes.c_int64
 _lib.rt_edit_distance.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                   ctypes.c_char_p, ctypes.c_int64]
+_lib.rt_result_flag.restype = ctypes.c_uint8
+_lib.rt_result_flag.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_lib.rt_polish_windows.restype = ctypes.c_void_p
+_lib.rt_polish_windows.argtypes = [
+    ctypes.c_int64, _I64P,
+    ctypes.c_char_p, _I64P,
+    ctypes.c_char_p, _I64P,
+    ctypes.c_char_p, _I64P,
+    ctypes.c_char_p, _I64P,
+    _I32P, _I32P, _U8P,
+    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int,
+]
 
 
 def _concat(seqs: Sequence[bytes]):
@@ -37,6 +52,60 @@ def _concat(seqs: Sequence[bytes]):
 
 def edit_distance(q: bytes, t: bytes) -> int:
     return _lib.rt_edit_distance(q, len(q), t, len(t))
+
+
+def polish_windows(windows, match: int, mismatch: int, gap: int, trim: bool,
+                   num_threads: int = 1):
+    """Polish windows with the native C++ POA oracle.
+
+    Returns [(consensus bytes, polished bool)], bit-identical to the NumPy
+    oracle and the batched JAX engine.
+    """
+    from racon_tpu.core.window import WindowType
+
+    n = len(windows)
+    layer_counts = [len(w.sequences) - 1 for w in windows]
+    layer_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(layer_counts, out=layer_off[1:])
+
+    bb = [w.sequences[0] for w in windows]
+    bbq = [w.qualities[0] for w in windows]
+    seqs, quals, begins, ends = [], [], [], []
+    trims = np.zeros(n, dtype=np.uint8)
+    for i, w in enumerate(windows):
+        trims[i] = 1 if (w.type == WindowType.TGS and trim) else 0
+        for k in range(1, len(w.sequences)):
+            seqs.append(w.sequences[k])
+            quals.append(w.qualities[k] if w.qualities[k] else b"")
+            begins.append(w.positions[k][0])
+            ends.append(w.positions[k][1])
+
+    bb_buf, bb_off = _concat(bb)
+    bbq_buf, bbq_off = _concat(bbq)
+    seq_buf, seq_off = _concat(seqs)
+    qual_buf, qual_off = _concat(quals)
+    begins_a = np.asarray(begins, dtype=np.int32)
+    ends_a = np.asarray(ends, dtype=np.int32)
+
+    handle = _lib.rt_polish_windows(
+        n, layer_off.ctypes.data_as(_I64P),
+        bb_buf, bb_off.ctypes.data_as(_I64P),
+        bbq_buf, bbq_off.ctypes.data_as(_I64P),
+        seq_buf, seq_off.ctypes.data_as(_I64P),
+        qual_buf, qual_off.ctypes.data_as(_I64P),
+        begins_a.ctypes.data_as(_I32P), ends_a.ctypes.data_as(_I32P),
+        trims.ctypes.data_as(_U8P),
+        match, mismatch, gap, max(1, num_threads))
+    out = []
+    try:
+        for i in range(n):
+            ln = _lib.rt_result_len(handle, i)
+            buf = ctypes.create_string_buffer(ln)
+            _lib.rt_result_get(handle, i, buf)
+            out.append((buf.raw[:ln], bool(_lib.rt_result_flag(handle, i))))
+    finally:
+        _lib.rt_result_free(handle)
+    return out
 
 
 class NativeAligner:

@@ -93,13 +93,22 @@ class BatchedPOAEngine:
                                 B=len(chunk), D=D, L=L, L0=L0, N=N,
                                 t_cap=t_cap)
 
-        # host fallback for device-flagged failures
-        for i in eligible:
-            if results[i] is None:
+        # host fallback for device-flagged failures (native C++ oracle;
+        # reference precedent: src/cuda/cudapolisher.cpp:354-378)
+        failed = [i for i in eligible if results[i] is None]
+        if failed:
+            self.stats["fallback"] += len(failed)
+            try:
+                from racon_tpu.native import rtlib
+                fb = rtlib.polish_windows([windows[i] for i in failed],
+                                          self.match, self.mismatch,
+                                          self.gap, trim)
+            except Exception:  # pragma: no cover - no compiler available
                 from racon_tpu.poa.consensus import consensus_window
-                results[i] = consensus_window(windows[i], self.match,
-                                              self.mismatch, self.gap, trim)
-                self.stats["fallback"] += 1
+                fb = [consensus_window(windows[i], self.match, self.mismatch,
+                                       self.gap, trim) for i in failed]
+            for i, r in zip(failed, fb):
+                results[i] = r
         return results  # type: ignore[return-value]
 
     # ------------------------------------------------------------------ #
