@@ -86,11 +86,12 @@ class BatchedPOAEngine:
             d = len(windows[i].sequences) - 1
             by_depth.setdefault(bucket_depth(d), []).append(i)
 
-        for D, idxs in sorted(by_depth.items()):
+        for _, idxs in sorted(by_depth.items()):
             for chunk_start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[chunk_start:chunk_start + self.batch_size]
+                depth = max(len(windows[i].sequences) - 1 for i in chunk)
                 self._run_chunk(chunk, windows, results, trim,
-                                B=len(chunk), D=D, L=L, L0=L0, N=N,
+                                B=len(chunk), D=depth, L=L, L0=L0, N=N,
                                 t_cap=t_cap)
 
         # host fallback for device-flagged failures (native C++ oracle;
@@ -158,15 +159,19 @@ class BatchedPOAEngine:
 
         state = E.init_graphs(jnp.asarray(backbone), jnp.asarray(backbone_w),
                               jnp.asarray(backbone_len), N, self.p_cap)
-        layers = E.LayerBatch(
-            seq=jnp.asarray(seq).astype(jnp.int32),
-            weights=jnp.asarray(wts).astype(jnp.int32),
-            length=jnp.asarray(length), begin=jnp.asarray(begin),
-            end=jnp.asarray(end), full=jnp.asarray(full),
-            active=jnp.asarray(active))
-
-        state = E.run_layers(state, layers, self.match, self.mismatch,
-                             self.gap, t_cap)
+        # one jitted program per (B, L, N) regardless of depth: python-loop
+        # the layers through a single compiled step (depth varies per bucket
+        # and would otherwise force one XLA program per depth)
+        for d in range(D):
+            layer = E.LayerBatch(
+                seq=jnp.asarray(seq[d], dtype=jnp.int32),
+                weights=jnp.asarray(wts[d], dtype=jnp.int32),
+                length=jnp.asarray(length[d]), begin=jnp.asarray(begin[d]),
+                end=jnp.asarray(end[d]), full=jnp.asarray(full[d]),
+                active=jnp.asarray(active[d]))
+            state = E.add_layer_jit(state, layer, match=self.match,
+                                    mismatch=self.mismatch, gap=self.gap,
+                                    t_cap=t_cap)
 
         # download + host consensus/trim
         codes = np.asarray(state.codes)

@@ -534,6 +534,11 @@ def add_layer(state: GraphState, layer: LayerBatch, match: int, mismatch: int,
     return _update_graph(state, layer, pn, pp, plen, overrun)
 
 
+add_layer_jit = functools.partial(
+    jax.jit, static_argnames=("match", "mismatch", "gap", "t_cap"),
+    donate_argnums=(0,))(add_layer)
+
+
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap",
                                              "t_cap"))
 def run_layers(state: GraphState, layers: LayerBatch, match: int,
