@@ -520,7 +520,7 @@ def _update_graph(state: GraphState, layer: LayerBatch, path_node, path_pos,
 # --------------------------------------------------------------------- #
 
 def add_layer(state: GraphState, layer: LayerBatch, match: int, mismatch: int,
-              gap: int, t_cap: int) -> GraphState:
+              gap: int, t_cap: int, use_pallas: bool = False) -> GraphState:
     B, Np1, P = state.pred.shape
     N = Np1 - 1
     begin_rank = state.rank[jnp.arange(B), jnp.clip(layer.begin, 0, N - 1)]
@@ -528,10 +528,68 @@ def add_layer(state: GraphState, layer: LayerBatch, match: int, mismatch: int,
     rb = jnp.where(layer.full, 0, begin_rank)
     re = jnp.where(layer.full, state.n_nodes - 1, end_rank)
 
-    H, bp, has_succ = _forward_dp(state, layer, match, mismatch, gap, rb, re)
-    pn, pp, plen, overrun = _traceback(state, layer, H, bp, has_succ,
-                                       rb, re, t_cap)
+    if use_pallas:
+        pn, pp, plen, overrun = _align_pallas(state, layer, match, mismatch,
+                                              gap, rb, re, t_cap)
+    else:
+        H, bp, has_succ = _forward_dp(state, layer, match, mismatch, gap,
+                                      rb, re)
+        pn, pp, plen, overrun = _traceback(state, layer, H, bp, has_succ,
+                                           rb, re, t_cap)
     return _update_graph(state, layer, pn, pp, plen, overrun)
+
+
+def _align_pallas(state: GraphState, layer: LayerBatch, match: int,
+                  mismatch: int, gap: int, rb, re, t_cap: int):
+    """DP + traceback through the Pallas kernel (racon_tpu/poa/pallas_dp.py):
+    pre-gather the graph into rank space, run the kernel, map the reversed
+    rank path back to node ids in forward order."""
+    from racon_tpu.poa import pallas_dp as PK
+
+    B, Np1, P = state.pred.shape
+    N = Np1 - 1
+    L = layer.seq.shape[1]
+    if L + 1 > PK.LP:
+        raise ValueError(f"layer length {L} exceeds Pallas row cap {PK.LP - 1}")
+    barange = jnp.arange(B)
+    b2 = barange[:, None]
+
+    order_safe = jnp.clip(state.order, 0, N)                  # [B, N]
+    codes_r = jnp.concatenate(
+        [state.codes[b2, order_safe],
+         jnp.full((B, 1), PAD_CODE, jnp.int32)], axis=1)      # [B, N+1]
+    pred_n = state.pred[b2, order_safe]                       # [B, N, P]
+    predr_n = jnp.where(
+        pred_n < N,
+        jnp.take_along_axis(state.rank, pred_n.reshape(B, N * P),
+                            axis=1).reshape(B, N, P), -1)
+    predr = jnp.concatenate(
+        [predr_n, jnp.full((B, 1, P), -1, jnp.int32)], axis=1)
+
+    seq_shift = jnp.full((B, PK.LP), PAD_CODE, jnp.int32)
+    seq_shift = seq_shift.at[:, 1:L + 1].set(layer.seq)
+    seq_shift = seq_shift.reshape(B, PK.SUB, PK.LANE)
+
+    active = (layer.active & ~state.failed).astype(jnp.int32)
+    meta = jnp.stack([rb, re, layer.length, active], axis=1).astype(jnp.int32)
+
+    path_rank, path_pos, plen = PK.dp_traceback(
+        meta, codes_r, predr, seq_shift, N=N, P=P, T=t_cap,
+        match=match, mismatch=mismatch, gap=gap, interpret=PK.INTERPRET)
+
+    overrun = plen < 0
+    t = jnp.where(overrun, 0, plen)
+    # rank -> node id
+    pr_safe = jnp.clip(path_rank, 0, N - 1)
+    pn_rev = jnp.where((path_rank >= 0) & (path_rank < N),
+                       state.order[b2, pr_safe], -1)
+    # reverse into forward order
+    T = t_cap
+    idx = t[:, None] - 1 - jnp.arange(T)[None, :]
+    gather = jnp.clip(idx, 0, T - 1)
+    pn = jnp.where(idx >= 0, pn_rev[b2, gather], -1)
+    pp = jnp.where(idx >= 0, path_pos[b2, gather], -1)
+    return pn, pp, t, overrun
 
 
 add_layer_jit = functools.partial(
