@@ -160,20 +160,7 @@ def _forward_dp(state: GraphState, layer: LayerBatch, match: int,
     H0 = H0.at[N].set(jnp.broadcast_to(jgap, (B, L + 1)))
     bp0 = jnp.zeros((N + 1, B, L + 1), jnp.int8)
 
-    # successors-in-range, one vectorized pass (for sink detection)
-    nar = jnp.arange(N, dtype=jnp.int32)
-    u_in_range = (state.rank[:, :N] >= rb[:, None]) & \
-                 (state.rank[:, :N] <= re[:, None]) & \
-                 (layer.active & ~state.failed)[:, None]      # [B, N]
-    pred_all = state.pred[:, :N, :]                           # [B, N, P]
-    p_rank = jnp.take_along_axis(
-        state.rank, pred_all.reshape(B, N * P), axis=1).reshape(B, N, P)
-    edge_ok = (pred_all < N) & (p_rank >= rb[:, None, None]) & \
-              (p_rank <= re[:, None, None]) & u_in_range[:, :, None]
-    has_succ = jnp.zeros((B, N + 1), bool)
-    has_succ = has_succ.at[
-        barange[:, None, None],
-        jnp.where(edge_ok, pred_all, N)].set(True)
+    has_succ = _compute_has_succ(state, layer, rb, re)
 
     m_i = jnp.int32(match)
     x_i = jnp.int32(mismatch)
@@ -232,6 +219,27 @@ def _forward_dp(state: GraphState, layer: LayerBatch, match: int,
     r_hi = jnp.max(jnp.where(layer.active & ~state.failed, re, jnp.int32(-1)))
     H, bp = jax.lax.fori_loop(r_lo, r_hi + 1, body, (H0, bp0))
     return H, bp, has_succ
+
+
+def _compute_has_succ(state: GraphState, layer: LayerBatch, rb, re):
+    """has_succ[b, v]: node v has an in-range successor (vectorized pass;
+    used for sink detection in both the XLA and Pallas paths)."""
+    B, Np1, P = state.pred.shape
+    N = Np1 - 1
+    barange = jnp.arange(B)
+    u_in_range = (state.rank[:, :N] >= rb[:, None]) & \
+                 (state.rank[:, :N] <= re[:, None]) & \
+                 (layer.active & ~state.failed)[:, None]      # [B, N]
+    pred_all = state.pred[:, :N, :]                           # [B, N, P]
+    p_rank = jnp.take_along_axis(
+        state.rank, pred_all.reshape(B, N * P), axis=1).reshape(B, N, P)
+    edge_ok = (pred_all < N) & (p_rank >= rb[:, None, None]) & \
+              (p_rank <= re[:, None, None]) & u_in_range[:, :, None]
+    has_succ = jnp.zeros((B, N + 1), bool)
+    has_succ = has_succ.at[
+        barange[:, None, None],
+        jnp.where(edge_ok, pred_all, N)].set(True)
+    return has_succ
 
 
 # --------------------------------------------------------------------- #
@@ -573,8 +581,14 @@ def _align_pallas(state: GraphState, layer: LayerBatch, match: int,
     active = (layer.active & ~state.failed).astype(jnp.int32)
     meta = jnp.stack([rb, re, layer.length, active], axis=1).astype(jnp.int32)
 
+    # sink candidates, in rank space
+    has_succ = _compute_has_succ(state, layer, rb, re)        # [B, N+1]
+    hs_r = jnp.concatenate(
+        [has_succ[b2, order_safe],
+         jnp.ones((B, 1), bool)], axis=1).astype(jnp.int32)   # [B, N+1]
+
     path_rank, path_pos, plen = PK.dp_traceback(
-        meta, codes_r, predr, seq_shift, N=N, P=P, T=t_cap,
+        meta, codes_r, predr, seq_shift, hs_r, N=N, P=P, T=t_cap,
         match=match, mismatch=mismatch, gap=gap, interpret=PK.INTERPRET)
 
     overrun = plen < 0

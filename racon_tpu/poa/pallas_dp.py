@@ -72,30 +72,29 @@ def make_dp_kernel(N: int, P: int, T: int, match: int, mismatch: int,
     """Build the kernel body for capacities (N nodes, P pred slots)."""
     PV = P + 1
 
-    def kernel(meta_ref, codes_ref, predr_ref, seq_ref,
+    def kernel(meta_ref, codes_ref, predr_ref, seq_ref, hsucc_ref,
                prank_ref, ppos_ref, plen_ref,
-               H, bp, succ):
+               H, bp):
         m_i = jnp.int32(match)
         x_i = jnp.int32(mismatch)
         g_i = jnp.int32(gap)
         lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
         sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
-        rb = meta_ref[0, 0]
-        re = meta_ref[0, 1]
-        ell = meta_ref[0, 2]
-        active = meta_ref[0, 3]
+        rb = meta_ref[0, 0, 0]
+        re = meta_ref[0, 0, 1]
+        ell = meta_ref[0, 0, 2]
+        active = meta_ref[0, 0, 3]
 
         jidx = sub * LANE + lane                          # packed j index
         jgap = jnp.where(jidx <= ell, jidx * g_i, NEG_INF)
         H[N, :, :] = jgap
-        succ[0, :] = jnp.zeros((N + 1,), jnp.int32)
 
         seq_tile = seq_ref[0]                             # [8,128]: seq[j-1]
 
         def dp_body(r, carry):
             @pl.when(active == 1)
             def _():
-                code_v = codes_ref[0, r]
+                code_v = codes_ref[0, 0, r]
                 prof = jnp.where(seq_tile == code_v, m_i, x_i)
 
                 row = jnp.full((SUB, LANE), NEG_INF, jnp.int32)
@@ -109,10 +108,6 @@ def make_dp_kernel(N: int, P: int, T: int, match: int, mismatch: int,
                     any_valid = any_valid | valid.astype(jnp.int32)
                     diag = _shift_j(hp, NEG_INF) + prof
                     row = jnp.maximum(row, jnp.maximum(diag, hp + g_i))
-                    # mark predecessor as having an in-range successor
-                    @pl.when(valid)
-                    def _():
-                        succ[0, prs] = 1
                 # virtual source row when no in-range predecessor
                 hp = jnp.where(any_valid == 0, jgap, NEG_INF)
                 row = jnp.maximum(row, jnp.maximum(
@@ -153,7 +148,7 @@ def make_dp_kernel(N: int, P: int, T: int, match: int, mismatch: int,
 
         def sink_body(r, best):
             best_score, best_r = best
-            is_sink = (succ[0, r] == 0) & (active == 1)
+            is_sink = (hsucc_ref[0, 0, r] == 0) & (active == 1)
             score = H[r, es, ec]
             better = is_sink & (score > best_score)
             return (jnp.where(better, score, best_score),
@@ -162,9 +157,8 @@ def make_dp_kernel(N: int, P: int, T: int, match: int, mismatch: int,
         best_score, best_r = jax.lax.fori_loop(
             rb, re + 1, sink_body, (NEG_INF, jnp.int32(N)))
 
-        # ---- traceback ---------------------------------------------------
-        prank_ref[0, :] = jnp.full((T,), -1, jnp.int32)
-        ppos_ref[0, :] = jnp.full((T,), -1, jnp.int32)
+        # ---- traceback (entries beyond the returned length are garbage;
+        # the caller masks by path_len) --------------------------------
 
         def tb_cond(c):
             vr, j, t, done = c
@@ -182,8 +176,8 @@ def make_dp_kernel(N: int, P: int, T: int, match: int, mismatch: int,
                 slot == P, N,
                 predr_ref[0, vr, jnp.clip(slot, 0, P - 1)])
 
-            prank_ref[0, t] = jnp.where(is_diag | is_vert, vr, -1)
-            ppos_ref[0, t] = jnp.where(is_vert, -1, j - 1)
+            prank_ref[0, 0, t] = jnp.where(is_diag | is_vert, vr, -1)
+            ppos_ref[0, 0, t] = jnp.where(is_vert, -1, j - 1)
 
             vr2 = jnp.where(is_diag | is_vert, pred_r, vr)
             j2 = jnp.where(is_vert, j, j - 1)
@@ -196,19 +190,20 @@ def make_dp_kernel(N: int, P: int, T: int, match: int, mismatch: int,
         j0 = jnp.where(active == 1, ell, 0)
         vr, j, t, done = jax.lax.while_loop(
             tb_cond, tb_body, (vr0, j0, t0, done0))
-        plen_ref[0, 0] = jnp.where(done == 1, t, -1)   # -1 = overrun
+        plen_ref[0, 0, 0] = jnp.where(done == 1, t, -1)   # -1 = overrun
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("N", "P", "T", "match",
                                              "mismatch", "gap", "interpret"))
-def dp_traceback(meta, codes_r, predr, seq_shift, N: int, P: int, T: int,
-                 match: int, mismatch: int, gap: int,
+def dp_traceback(meta, codes_r, predr, seq_shift, has_succ_r, N: int,
+                 P: int, T: int, match: int, mismatch: int, gap: int,
                  interpret: bool = False):
     """Run the DP+traceback kernel over a window batch.
 
     meta:      [B, 4] i32 (rb, re, ell, active)
+    has_succ_r: [B, N+1] i32, 1 = rank r's node has an in-range successor
     codes_r:   [B, N+1] i32 rank-ordered node codes
     predr:     [B, N+1, P] i32 predecessor ranks (-1 = none/invalid)
     seq_shift: [B, 8, 128] i32, packed layout: seq[j-1] at
@@ -224,33 +219,35 @@ def dp_traceback(meta, codes_r, predr, seq_shift, N: int, P: int, T: int,
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, 4), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N + 1), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, N + 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N + 1, P), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, SUB, LANE), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N + 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, T), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         interpret=interpret,
         out_shape=[
-            jax.ShapeDtypeStruct((B, T), jnp.int32),
-            jax.ShapeDtypeStruct((B, T), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, T), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, T), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((N + 1, SUB, LANE), jnp.int32),   # H
             pltpu.VMEM((N + 1, SUB, LANE), jnp.int8),    # bp
-            pltpu.SMEM((1, N + 1), jnp.int32),           # succ marks
         ],
-    )(meta, codes_r, predr, seq_shift)
-    return path_rank, path_pos, path_len[:, 0]
+    )(meta.reshape(B, 1, 4), codes_r.reshape(B, 1, N + 1), predr,
+      seq_shift, has_succ_r.reshape(B, 1, N + 1))
+    return path_rank[:, 0], path_pos[:, 0], path_len[:, 0, 0]
