@@ -35,7 +35,8 @@ class BatchedPOAEngine:
 
     def __init__(self, match: int, mismatch: int, gap: int,
                  batch_size: int = 32, p_cap: int = 12,
-                 node_factor: float = 3.5, mesh=None):
+                 node_factor: float = 3.5, mesh=None,
+                 use_pallas: Optional[bool] = None):
         self.match = match
         self.mismatch = mismatch
         self.gap = gap
@@ -43,6 +44,12 @@ class BatchedPOAEngine:
         self.p_cap = p_cap
         self.node_factor = node_factor
         self.mesh = mesh
+        if use_pallas is None:
+            # the Pallas kernel runs on real TPU backends; the XLA path is
+            # the portable fallback (CPU tests, virtual-device dry runs)
+            import jax
+            use_pallas = jax.default_backend() != "cpu"
+        self.use_pallas = use_pallas
         self.stats = {"windows": 0, "device": 0, "fallback": 0, "trivial": 0}
 
     # ------------------------------------------------------------------ #
@@ -171,7 +178,7 @@ class BatchedPOAEngine:
                 active=jnp.asarray(active[d]))
             state = E.add_layer_jit(state, layer, match=self.match,
                                     mismatch=self.mismatch, gap=self.gap,
-                                    t_cap=t_cap)
+                                    t_cap=t_cap, use_pallas=self.use_pallas)
 
         # download + host consensus/trim
         codes = np.asarray(state.codes)

@@ -578,8 +578,14 @@ def _align_pallas(state: GraphState, layer: LayerBatch, match: int,
     seq_shift = seq_shift.at[:, 1:L + 1].set(layer.seq)
     seq_shift = seq_shift.reshape(B, PK.SUB, PK.LANE)
 
-    active = (layer.active & ~state.failed).astype(jnp.int32)
-    meta = jnp.stack([rb, re, layer.length, active], axis=1).astype(jnp.int32)
+    active_b = layer.active & ~state.failed
+    active = active_b.astype(jnp.int32)
+    # inactive windows carry garbage ranks; give them an empty loop range
+    # (the kernel's per-window fori would otherwise index out of bounds)
+    rb_k = jnp.where(active_b, jnp.clip(rb, 0, N - 1), 1)
+    re_k = jnp.where(active_b, jnp.clip(re, 0, N - 1), 0)
+    meta = jnp.stack([rb_k, re_k, layer.length, active],
+                     axis=1).astype(jnp.int32)
 
     # sink candidates, in rank space
     has_succ = _compute_has_succ(state, layer, rb, re)        # [B, N+1]
@@ -607,7 +613,8 @@ def _align_pallas(state: GraphState, layer: LayerBatch, match: int,
 
 
 add_layer_jit = functools.partial(
-    jax.jit, static_argnames=("match", "mismatch", "gap", "t_cap"),
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "t_cap", "use_pallas"),
     donate_argnums=(0,))(add_layer)
 
 

@@ -99,8 +99,9 @@ def make_dp_kernel(N: int, P: int, T: int, match: int, mismatch: int,
 
                 row = jnp.full((SUB, LANE), NEG_INF, jnp.int32)
                 any_valid = jnp.int32(0)
+                pred_row = predr_ref[pl.ds(r, 1), 0, 0, :]    # (1, P)
                 for p in range(P):
-                    pr = predr_ref[0, r, p]
+                    pr = pred_row[0, p]
                     valid = (pr >= rb) & (pr >= 0)
                     prs = jnp.maximum(pr, 0)
                     hp = H[prs, :, :]
@@ -123,7 +124,7 @@ def make_dp_kernel(N: int, P: int, T: int, match: int, mismatch: int,
                 bp_row = jnp.where(hvirt + g_i == row,
                                    jnp.int32(PV + P), bp_row)
                 for p in range(P - 1, -1, -1):
-                    pr = predr_ref[0, r, p]
+                    pr = pred_row[0, p]
                     valid = (pr >= rb) & (pr >= 0)
                     hp = jnp.where(valid, H[jnp.maximum(pr, 0), :, :], NEG_INF)
                     bp_row = jnp.where(hp + g_i == row,
@@ -131,25 +132,26 @@ def make_dp_kernel(N: int, P: int, T: int, match: int, mismatch: int,
                 dvirt = _shift_j(hvirt, NEG_INF) + prof
                 bp_row = jnp.where(dvirt == row, jnp.int32(P), bp_row)
                 for p in range(P - 1, -1, -1):
-                    pr = predr_ref[0, r, p]
+                    pr = pred_row[0, p]
                     valid = (pr >= rb) & (pr >= 0)
                     hp = jnp.where(valid, H[jnp.maximum(pr, 0), :, :], NEG_INF)
                     diag = _shift_j(hp, NEG_INF) + prof
                     bp_row = jnp.where(diag == row, jnp.int32(p), bp_row)
-                bp[r, :, :] = bp_row.astype(jnp.int8)
+                bp[r, :, :] = bp_row
 
             return carry
 
         jax.lax.fori_loop(rb, re + 1, dp_body, 0)
 
         # ---- sink selection: max H[r][ell], earliest rank on ties -------
-        es = ell // LANE
-        ec = ell % LANE
+        # (dynamic lane offsets can't be scalar-loaded; extract via a
+        # masked reduction over the row tile)
+        ell_mask = jidx == ell
 
         def sink_body(r, best):
             best_score, best_r = best
             is_sink = (hsucc_ref[0, 0, r] == 0) & (active == 1)
-            score = H[r, es, ec]
+            score = jnp.max(jnp.where(ell_mask, H[r, :, :], NEG_INF))
             better = is_sink & (score > best_score)
             return (jnp.where(better, score, best_score),
                     jnp.where(better, r, best_r))
@@ -167,14 +169,16 @@ def make_dp_kernel(N: int, P: int, T: int, match: int, mismatch: int,
         def tb_body(c):
             vr, j, t, done = c
             at_virtual = vr == N
-            move = jnp.where(at_virtual, 2 * PV,
-                             bp[vr, j // LANE, j % LANE].astype(jnp.int32))
+            jmask = (sub * LANE + lane) == j
+            bp_val = jnp.max(jnp.where(jmask, bp[vr, :, :], -1))
+            move = jnp.where(at_virtual, 2 * PV, bp_val)
             is_diag = move < PV
             is_vert = (move >= PV) & (move < 2 * PV)
             slot = jnp.where(is_diag, move, move - PV)
-            pred_r = jnp.where(
-                slot == P, N,
-                predr_ref[0, vr, jnp.clip(slot, 0, P - 1)])
+            vrow = predr_ref[pl.ds(jnp.minimum(vr, N), 1), 0, 0, :]  # (1, P)
+            pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+            slot_val = jnp.max(jnp.where(pidx == slot, vrow, -2))
+            pred_r = jnp.where(slot == P, N, slot_val)
 
             prank_ref[0, 0, t] = jnp.where(is_diag | is_vert, vr, -1)
             ppos_ref[0, 0, t] = jnp.where(is_vert, -1, j - 1)
@@ -223,8 +227,8 @@ def dp_traceback(meta, codes_r, predr, seq_shift, has_succ_r, N: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, N + 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N + 1, P), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((N + 1, 1, 1, P), lambda b: (0, b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUB, LANE), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N + 1), lambda b: (b, 0, 0),
@@ -246,8 +250,9 @@ def dp_traceback(meta, codes_r, predr, seq_shift, has_succ_r, N: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((N + 1, SUB, LANE), jnp.int32),   # H
-            pltpu.VMEM((N + 1, SUB, LANE), jnp.int8),    # bp
+            pltpu.VMEM((N + 1, SUB, LANE), jnp.int32),   # bp
         ],
-    )(meta.reshape(B, 1, 4), codes_r.reshape(B, 1, N + 1), predr,
-      seq_shift, has_succ_r.reshape(B, 1, N + 1))
+    )(meta.reshape(B, 1, 4), codes_r.reshape(B, 1, N + 1),
+      predr.transpose(1, 0, 2)[:, :, None, :], seq_shift,
+      has_succ_r.reshape(B, 1, N + 1))
     return path_rank[:, 0], path_pos[:, 0], path_len[:, 0, 0]

@@ -93,3 +93,35 @@ def test_pallas_matches_xla_reference():
                 np.asarray(getattr(state_x, name)), err_msg=name)
     finally:
         PK.INTERPRET = False
+
+
+def test_pallas_inactive_and_padded_windows():
+    """Padded batch entries (inactive, empty graphs) must be handled without
+    out-of-bounds access and leave state untouched."""
+    from racon_tpu.poa import engine as E
+    from racon_tpu.poa import pallas_dp as PK
+
+    PK.INTERPRET = True
+    try:
+        rng = random.Random(5)
+        state, layers, N, P, L = build_layers(rng, B=4, depth=3)
+        # deactivate windows 2,3 as if they were batch padding
+        import jax.numpy as jnp
+        sn = np.asarray(state.n_nodes).copy()
+        sn[2:] = 0
+        state = state._replace(n_nodes=jnp.asarray(sn))
+        t_cap = N + L
+        for layer in layers:
+            act = np.asarray(layer.active).copy()
+            act[2:] = False
+            layer = layer._replace(active=jnp.asarray(act))
+            sx = E.add_layer(state, layer, 3, -5, -4, t_cap, use_pallas=False)
+            sp = E.add_layer(state, layer, 3, -5, -4, t_cap, use_pallas=True)
+            for name in ("codes", "key", "pred", "pred_w", "pred_cnt", "cov",
+                         "rep", "order", "rank", "n_nodes", "failed"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(sp, name)),
+                    np.asarray(getattr(sx, name)), err_msg=name)
+            state = sx
+    finally:
+        PK.INTERPRET = False
