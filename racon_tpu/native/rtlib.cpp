@@ -51,6 +51,18 @@ std::string align_ond(const uint8_t* q, int64_t n, const uint8_t* t, int64_t m) 
   auto snake = [&](int64_t x, int64_t y) -> int64_t {
     const int64_t lim = std::min(n - x, m - y);
     int64_t s = 0;
+    // word-at-a-time match extension
+    while (s + 8 <= lim) {
+      uint64_t a, b;
+      std::memcpy(&a, q + x + s, 8);
+      std::memcpy(&b, t + y + s, 8);
+      const uint64_t diff = a ^ b;
+      if (diff) {
+        s += __builtin_ctzll(diff) >> 3;
+        return x + s;
+      }
+      s += 8;
+    }
     while (s < lim && q[x + s] == t[y + s]) ++s;
     return x + s;
   };
