@@ -166,30 +166,32 @@ class BatchedPOAEngine:
 
         state = E.init_graphs(jnp.asarray(backbone), jnp.asarray(backbone_w),
                               jnp.asarray(backbone_len), N, self.p_cap)
-        # one jitted program per (B, L, N) regardless of depth: python-loop
-        # the layers through a single compiled step (depth varies per bucket
-        # and would otherwise force one XLA program per depth)
+        # upload all layers once; slice per layer on device (the host<->device
+        # link is latency/bandwidth-limited); one jitted program per
+        # (B, L, N) regardless of depth
+        layers = E.LayerBatch(
+            seq=jnp.asarray(seq, dtype=jnp.int32),
+            weights=jnp.asarray(wts, dtype=jnp.int32),
+            length=jnp.asarray(length), begin=jnp.asarray(begin),
+            end=jnp.asarray(end), full=jnp.asarray(full),
+            active=jnp.asarray(active))
         for d in range(D):
-            layer = E.LayerBatch(
-                seq=jnp.asarray(seq[d], dtype=jnp.int32),
-                weights=jnp.asarray(wts[d], dtype=jnp.int32),
-                length=jnp.asarray(length[d]), begin=jnp.asarray(begin[d]),
-                end=jnp.asarray(end[d]), full=jnp.asarray(full[d]),
-                active=jnp.asarray(active[d]))
-            state = E.add_layer_jit(state, layer, match=self.match,
-                                    mismatch=self.mismatch, gap=self.gap,
-                                    t_cap=t_cap, use_pallas=self.use_pallas)
+            state = E.add_layer_at(state, layers, d, match=self.match,
+                                   mismatch=self.mismatch, gap=self.gap,
+                                   t_cap=t_cap, use_pallas=self.use_pallas)
 
-        # download + host consensus/trim
-        codes = np.asarray(state.codes)
-        pred = np.asarray(state.pred)
-        pred_w = np.asarray(state.pred_w)
-        pred_cnt = np.asarray(state.pred_cnt)
-        cov = np.asarray(state.cov)
-        order_a = np.asarray(state.order)
-        rank_a = np.asarray(state.rank)
-        n_nodes = np.asarray(state.n_nodes)
-        failed = np.asarray(state.failed)
+        # download (downcast dtypes) + host consensus/trim
+        packed = E.pack_for_download(state)
+        packed = {k: np.asarray(v) for k, v in packed.items()}
+        codes = packed["codes"]
+        pred = packed["pred"]
+        pred_w = packed["pred_w"]
+        pred_cnt = packed["pred_cnt"]
+        cov = packed["cov"]
+        order_a = packed["order"]
+        rank_a = packed["rank"]
+        n_nodes = packed["n_nodes"]
+        failed = packed["failed"]
 
         for b, i in enumerate(chunk):
             if failed[b]:

@@ -618,6 +618,38 @@ add_layer_jit = functools.partial(
     donate_argnums=(0,))(add_layer)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap", "t_cap", "use_pallas"),
+    donate_argnums=(0,))
+def add_layer_at(state: GraphState, layers: LayerBatch, d, match: int,
+                 mismatch: int, gap: int, t_cap: int,
+                 use_pallas: bool = False) -> GraphState:
+    """One layer step, slicing layer ``d`` out of stacked [D, B, ...] arrays
+    on device — keeps the host->device traffic to one upload per bucket."""
+    layer = jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_index_in_dim(x, d, axis=0, keepdims=False),
+        layers)
+    return add_layer(state, layer, match, mismatch, gap, t_cap, use_pallas)
+
+
+@jax.jit
+def pack_for_download(state: GraphState):
+    """Downcast the graph state for host download (the tunnel to the device
+    is bandwidth-limited); node ids fit int16 for N < 32768."""
+    return dict(
+        codes=state.codes.astype(jnp.int8),
+        pred=state.pred.astype(jnp.int16),
+        pred_w=state.pred_w,
+        pred_cnt=state.pred_cnt.astype(jnp.int16),
+        cov=state.cov.astype(jnp.int16),
+        order=state.order.astype(jnp.int16),
+        rank=jnp.minimum(state.rank, jnp.int32(2**15 - 1)).astype(jnp.int16),
+        n_nodes=state.n_nodes,
+        failed=state.failed,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gap",
                                              "t_cap"))
 def run_layers(state: GraphState, layers: LayerBatch, match: int,
