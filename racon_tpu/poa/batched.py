@@ -36,7 +36,8 @@ class BatchedPOAEngine:
     def __init__(self, match: int, mismatch: int, gap: int,
                  batch_size: int = 32, p_cap: int = 12,
                  node_factor: float = 3.5, mesh=None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 mode: Optional[str] = None):
         self.match = match
         self.mismatch = mismatch
         self.gap = gap
@@ -44,12 +45,18 @@ class BatchedPOAEngine:
         self.p_cap = p_cap
         self.node_factor = node_factor
         self.mesh = mesh
-        if use_pallas is None:
-            # the Pallas kernel runs on real TPU backends; the XLA path is
-            # the portable fallback (CPU tests, virtual-device dry runs)
-            import jax
-            use_pallas = jax.default_backend() != "cpu"
-        self.use_pallas = use_pallas
+        if mode is None:
+            if use_pallas is not None:
+                mode = "pallas" if use_pallas else "xla"
+            else:
+                # the fused kernel (DP + traceback + graph update in one
+                # Pallas call) runs on real TPU backends; the XLA path is
+                # the portable fallback (CPU tests, virtual-device dry runs)
+                import jax
+                mode = "fused" if jax.default_backend() != "cpu" else "xla"
+        assert mode in ("fused", "pallas", "xla")
+        self.mode = mode
+        self.use_pallas = mode == "pallas"
         self.stats = {"windows": 0, "device": 0, "fallback": 0, "trivial": 0}
 
     # ------------------------------------------------------------------ #
@@ -62,24 +69,47 @@ class BatchedPOAEngine:
         results: List[Optional[Tuple[bytes, bool]]] = [None] * len(windows)
         self.stats["windows"] += len(windows)
 
+        # per-kernel sequence cap: the packed DP row holds L+1 <= 1024
+        # positions (reference GPU precedent: cudapoa BatchConfig max seq
+        # len 1023, src/cuda/cudabatch.cpp); longer layers -> host fallback
+        if self.mode in ("fused", "pallas"):
+            from racon_tpu.poa.fused_step import LP
+            l_cap = LP - 1
+        else:
+            l_cap = 1 << 30
+
         eligible: List[int] = []
+        oversize: List[int] = []
         for i, w in enumerate(windows):
             if len(w.sequences) < 3:
                 results[i] = (w.sequences[0], False)
                 self.stats["trivial"] += 1
+            elif max(len(s) for s in w.sequences[1:]) > l_cap:
+                oversize.append(i)
             else:
                 eligible.append(i)
-        if not eligible:
+        if not eligible and not oversize:
             return results  # type: ignore[return-value]
 
-        max_backbone = max(len(windows[i].sequences[0]) for i in eligible)
-        max_layer = max(max(len(s) for s in windows[i].sequences[1:])
-                        for i in eligible)
+        if eligible:
+            max_backbone = max(len(windows[i].sequences[0]) for i in eligible)
+            max_layer = max(max(len(s) for s in windows[i].sequences[1:])
+                            for i in eligible)
+        else:
+            max_backbone, max_layer = 16, 16
         L = _round_up(max(max_layer, 16), 128)
         L0 = max_backbone
         N = _round_up(max(int(self.node_factor * max_backbone),
                           max_backbone + 256), 256)
         t_cap = N + L
+
+        # the fused kernel packs (score, move, pred-rank) into one int32;
+        # shapes or exotic scores that break the packing use the XLA path
+        if self.mode == "fused":
+            from racon_tpu.poa.fused_step import check_capacity
+            N = min(N, 2046)
+            if not check_capacity(N, self.match, self.mismatch, self.gap, L):
+                self.mode = "xla"
 
         # depth buckets (powers of two) to bound compilation count
         def bucket_depth(d: int) -> int:
@@ -101,9 +131,9 @@ class BatchedPOAEngine:
                                 B=len(chunk), D=depth, L=L, L0=L0, N=N,
                                 t_cap=t_cap)
 
-        # host fallback for device-flagged failures (native C++ oracle;
-        # reference precedent: src/cuda/cudapolisher.cpp:354-378)
-        failed = [i for i in eligible if results[i] is None]
+        # host fallback for oversize windows and device-flagged failures
+        # (native C++ oracle; reference: src/cuda/cudapolisher.cpp:354-378)
+        failed = oversize + [i for i in eligible if results[i] is None]
         if failed:
             self.stats["fallback"] += len(failed)
             try:
@@ -164,24 +194,48 @@ class BatchedPOAEngine:
                 full[d, b] = bg < offset and en > len(bb) - offset
                 active[d, b] = True
 
-        state = E.init_graphs(jnp.asarray(backbone), jnp.asarray(backbone_w),
-                              jnp.asarray(backbone_len), N, self.p_cap)
         # upload all layers once; slice per layer on device (the host<->device
         # link is latency/bandwidth-limited); one jitted program per
         # (B, L, N) regardless of depth
-        layers = E.LayerBatch(
-            seq=jnp.asarray(seq, dtype=jnp.int32),
-            weights=jnp.asarray(wts, dtype=jnp.int32),
-            length=jnp.asarray(length), begin=jnp.asarray(begin),
-            end=jnp.asarray(end), full=jnp.asarray(full),
-            active=jnp.asarray(active))
-        for d in range(D):
-            state = E.add_layer_at(state, layers, d, match=self.match,
-                                   mismatch=self.mismatch, gap=self.gap,
-                                   t_cap=t_cap, use_pallas=self.use_pallas)
+        if self.mode == "fused":
+            from racon_tpu.poa import fused_step as F
+            fs = F.init_fused(jnp.asarray(backbone), jnp.asarray(backbone_w),
+                              jnp.asarray(backbone_len), N, self.p_cap)
+            metas = np.zeros((D, Bp, 1, 8), np.int32)
+            metas[:, :, 0, 0] = begin
+            metas[:, :, 0, 1] = end
+            metas[:, :, 0, 2] = full
+            metas[:, :, 0, 3] = length
+            metas[:, :, 0, 4] = active
+            seq_t, wts_t = F.pack_layer_tiles(seq.astype(np.int32),
+                                              wts.astype(np.int32))
+            metas = jnp.asarray(metas)
+            seq_t = jnp.asarray(seq_t)
+            wts_t = jnp.asarray(wts_t)
+            for d in range(D):
+                fs = F.fused_layer_step_at(
+                    fs, metas, seq_t, wts_t, d, p_cap=self.p_cap,
+                    match=self.match, mismatch=self.mismatch, gap=self.gap,
+                    t_cap=t_cap, interpret=F.INTERPRET)
+            packed = F.pack_for_download_fused(fs, p_cap=self.p_cap)
+        else:
+            state = E.init_graphs(jnp.asarray(backbone),
+                                  jnp.asarray(backbone_w),
+                                  jnp.asarray(backbone_len), N, self.p_cap)
+            layers = E.LayerBatch(
+                seq=jnp.asarray(seq, dtype=jnp.int32),
+                weights=jnp.asarray(wts, dtype=jnp.int32),
+                length=jnp.asarray(length), begin=jnp.asarray(begin),
+                end=jnp.asarray(end), full=jnp.asarray(full),
+                active=jnp.asarray(active))
+            for d in range(D):
+                state = E.add_layer_at(state, layers, d, match=self.match,
+                                       mismatch=self.mismatch, gap=self.gap,
+                                       t_cap=t_cap,
+                                       use_pallas=self.use_pallas)
+            packed = E.pack_for_download(state)
 
         # download (downcast dtypes) + host consensus/trim
-        packed = E.pack_for_download(state)
         packed = {k: np.asarray(v) for k, v in packed.items()}
         codes = packed["codes"]
         pred = packed["pred"]
