@@ -790,4 +790,160 @@ void* rt_polish_windows(
   return result;
 }
 
+
+// Heaviest-bundle consensus for a batch of downloaded device graphs.
+// Arrays use the TPU engine's download layout (racon_tpu/poa/fused_step.py
+// pack_for_download_fused): codes [B,Np1] i8, pred [B,Np1,P] i16 (Np1-1 =
+// empty sentinel), pred_w [B,Np1,P] i32, pred_cnt [B,Np1] i16, cov [B,Np1]
+// i16, order [B,Np1-1] i16 (rank->node), n_nodes [B] i32, skip [B] u8.
+// Item w = consensus chars followed by the per-base coverage as raw int16
+// (little endian), so item length = 3 * consensus length.
+// The algorithm mirrors PoaGraph::generate_consensus /
+// consensus_host.heaviest_bundle exactly (same tie rules).
+void* rt_consensus_batch(
+    const int8_t* codes, const int16_t* pred, const int32_t* pred_w,
+    const int16_t* pred_cnt, const int16_t* cov, const int16_t* order,
+    const int32_t* n_nodes, const uint8_t* skip,
+    int64_t B, int64_t Np1, int64_t P, int nthreads) {
+  auto* result = new BatchResult();
+  result->items.resize(B);
+  result->flags.resize(B, 0);
+  const int64_t N = Np1 - 1;
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    std::vector<int64_t> scores, scores_bc;
+    std::vector<int32_t> pred_choice, succ_off, succ_dat, rank;
+    while (true) {
+      const int64_t w = next.fetch_add(1);
+      if (w >= B) break;
+      if (skip[w]) continue;
+      const int64_t n = n_nodes[w];
+      if (n <= 0) continue;
+      const int8_t* c_w = codes + w * Np1;
+      const int16_t* pr_w = pred + w * Np1 * P;
+      const int32_t* pw_w = pred_w + w * Np1 * P;
+      const int16_t* cnt_w = pred_cnt + w * Np1;
+      const int16_t* cov_w = cov + w * Np1;
+      const int16_t* ord_w = order + w * N;
+
+      rank.assign(n, 0);
+      for (int64_t r = 0; r < n; ++r) rank[ord_w[r]] = r;
+
+      // successor lists in CSR form
+      succ_off.assign(n + 1, 0);
+      int64_t n_edges = 0;
+      for (int64_t v = 0; v < n; ++v) {
+        for (int64_t k = 0; k < cnt_w[v]; ++k) {
+          const int32_t p = pr_w[v * P + k];
+          if (p >= N || p < 0) continue;
+          ++succ_off[p + 1];
+          ++n_edges;
+        }
+      }
+      for (int64_t v = 0; v < n; ++v) succ_off[v + 1] += succ_off[v];
+      succ_dat.assign(n_edges, 0);
+      {
+        std::vector<int32_t> fill(succ_off.begin(), succ_off.end() - 1);
+        for (int64_t v = 0; v < n; ++v) {
+          for (int64_t k = 0; k < cnt_w[v]; ++k) {
+            const int32_t p = pr_w[v * P + k];
+            if (p >= N || p < 0) continue;
+            succ_dat[fill[p]++] = static_cast<int32_t>(v);
+          }
+        }
+      }
+
+      scores.assign(n, -1);
+      pred_choice.assign(n, -1);
+      auto sc = [&](const std::vector<int64_t>& s, int32_t idx) {
+        return idx == -1 ? s[n - 1] : s[idx];
+      };
+
+      int32_t max_v = -1;
+      for (int64_t r = 0; r < n; ++r) {
+        const int32_t v = ord_w[r];
+        for (int64_t k = 0; k < cnt_w[v]; ++k) {
+          const int32_t p = pr_w[v * P + k];
+          if (p >= N || p < 0) continue;
+          const int64_t wt = pw_w[v * P + k];
+          if (scores[v] < wt ||
+              (scores[v] == wt && sc(scores, pred_choice[v]) <= scores[p])) {
+            scores[v] = wt;
+            pred_choice[v] = p;
+          }
+        }
+        if (pred_choice[v] != -1) scores[v] += scores[pred_choice[v]];
+        if (max_v == -1 || scores[max_v] < scores[v]) max_v = v;
+      }
+
+      while (succ_off[max_v + 1] > succ_off[max_v]) {
+        scores_bc = scores;
+        for (int32_t si = succ_off[max_v]; si < succ_off[max_v + 1]; ++si) {
+          const int32_t h = succ_dat[si];
+          for (int64_t k = 0; k < cnt_w[h]; ++k) {
+            const int32_t p = pr_w[h * P + k];
+            if (p >= N || p < 0) continue;
+            if (p != max_v) scores_bc[p] = -1;
+          }
+        }
+        int32_t best2 = -1;
+        int64_t best2_score = -1;
+        const int64_t r0 = rank[max_v];
+        for (int64_t r = r0 + 1; r < n; ++r) {
+          const int32_t v = ord_w[r];
+          scores_bc[v] = -1;
+          pred_choice[v] = -1;
+          for (int64_t k = 0; k < cnt_w[v]; ++k) {
+            const int32_t p = pr_w[v * P + k];
+            if (p >= N || p < 0) continue;
+            const int64_t wt = pw_w[v * P + k];
+            if (scores_bc[p] == -1) continue;
+            if (scores_bc[v] < wt ||
+                (scores_bc[v] == wt &&
+                 sc(scores_bc, pred_choice[v]) <= scores_bc[p])) {
+              scores_bc[v] = wt;
+              pred_choice[v] = p;
+            }
+          }
+          if (pred_choice[v] != -1) scores_bc[v] += scores_bc[pred_choice[v]];
+          if (best2_score < scores_bc[v]) {
+            best2_score = scores_bc[v];
+            best2 = v;
+          }
+        }
+        if (best2 == -1) break;
+        scores = std::move(scores_bc);
+        max_v = best2;
+      }
+
+      std::vector<int32_t> path;
+      {
+        int32_t v = max_v;
+        while (v != -1) {
+          path.push_back(v);
+          v = pred_choice[v];
+        }
+        std::reverse(path.begin(), path.end());
+      }
+      std::string& out = result->items[w];
+      out.resize(path.size() * 3);
+      for (size_t i = 0; i < path.size(); ++i) {
+        int ci = c_w[path[i]];
+        if (ci < 0 || ci > 4) ci = 4;
+        out[i] = kDecode[ci];
+        const int16_t cv = cov_w[path[i]];
+        out[path.size() + 2 * i] = static_cast<char>(cv & 0xff);
+        out[path.size() + 2 * i + 1] = static_cast<char>((cv >> 8) & 0xff);
+      }
+      result->flags[w] = 1;
+    }
+  };
+  std::vector<std::thread> threads;
+  const int nt = nthreads < 1 ? 1 : nthreads;
+  for (int i = 1; i < nt; ++i) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return result;
+}
+
 }  // extern "C"

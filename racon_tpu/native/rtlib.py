@@ -44,6 +44,15 @@ _lib.rt_polish_windows.argtypes = [
 ]
 
 
+_I8P = ctypes.POINTER(ctypes.c_int8)
+_I16P = ctypes.POINTER(ctypes.c_int16)
+_lib.rt_consensus_batch.restype = ctypes.c_void_p
+_lib.rt_consensus_batch.argtypes = [
+    _I8P, _I16P, _I32P, _I16P, _I16P, _I16P, _I32P, _U8P,
+    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+]
+
+
 def _concat(seqs: Sequence[bytes]):
     offs = np.zeros(len(seqs) + 1, dtype=np.int64)
     np.cumsum([len(s) for s in seqs], out=offs[1:])
@@ -103,6 +112,48 @@ def polish_windows(windows, match: int, mismatch: int, gap: int, trim: bool,
             buf = ctypes.create_string_buffer(ln)
             _lib.rt_result_get(handle, i, buf)
             out.append((buf.raw[:ln], bool(_lib.rt_result_flag(handle, i))))
+    finally:
+        _lib.rt_result_free(handle)
+    return out
+
+
+def consensus_batch(packed: dict, skip: np.ndarray, num_threads: int = 1):
+    """Heaviest-bundle consensus for a batch of downloaded device graphs.
+
+    packed: the dict produced by fused_step.pack_for_download_fused /
+    engine.pack_for_download (numpy arrays).  Returns a list of
+    (consensus bytes, coverage int16 array) — None where skip[i] is set.
+    """
+    codes = np.ascontiguousarray(packed["codes"], dtype=np.int8)
+    pred = np.ascontiguousarray(packed["pred"], dtype=np.int16)
+    pred_w = np.ascontiguousarray(packed["pred_w"], dtype=np.int32)
+    cnt = np.ascontiguousarray(packed["pred_cnt"], dtype=np.int16)
+    cov = np.ascontiguousarray(packed["cov"], dtype=np.int16)
+    order = np.ascontiguousarray(packed["order"], dtype=np.int16)
+    n_nodes = np.ascontiguousarray(packed["n_nodes"], dtype=np.int32)
+    skip = np.ascontiguousarray(skip, dtype=np.uint8)
+    B, Np1 = codes.shape
+    P = pred.shape[2]
+
+    handle = _lib.rt_consensus_batch(
+        codes.ctypes.data_as(_I8P), pred.ctypes.data_as(_I16P),
+        pred_w.ctypes.data_as(_I32P), cnt.ctypes.data_as(_I16P),
+        cov.ctypes.data_as(_I16P), order.ctypes.data_as(_I16P),
+        n_nodes.ctypes.data_as(_I32P), skip.ctypes.data_as(_U8P),
+        B, Np1, P, max(1, num_threads))
+    out = []
+    try:
+        for i in range(B):
+            if skip[i] or not _lib.rt_result_flag(handle, i):
+                out.append(None)
+                continue
+            ln = _lib.rt_result_len(handle, i)
+            buf = ctypes.create_string_buffer(ln)
+            _lib.rt_result_get(handle, i, buf)
+            L = ln // 3
+            cons = buf.raw[:L]
+            cov_i = np.frombuffer(buf.raw[L:L + 2 * L], dtype="<i2")
+            out.append((cons, cov_i))
     finally:
         _lib.rt_result_free(handle)
     return out

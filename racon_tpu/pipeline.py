@@ -289,7 +289,8 @@ class Polisher:
         if name == "tpu":
             try:
                 from racon_tpu.poa.batched import BatchedPOAEngine
-                return BatchedPOAEngine(self.match, self.mismatch, self.gap)
+                return BatchedPOAEngine(self.match, self.mismatch, self.gap,
+                                        num_threads=self.num_threads)
             except Exception as e:  # pragma: no cover
                 print(f"[racon_tpu::Polisher.polish] warning: TPU engine "
                       f"unavailable ({e}); falling back to oracle",

@@ -37,8 +37,9 @@ class BatchedPOAEngine:
                  batch_size: int = 32, p_cap: int = 12,
                  node_factor: float = 3.5, mesh=None,
                  use_pallas: Optional[bool] = None,
-                 mode: Optional[str] = None):
+                 mode: Optional[str] = None, num_threads: int = 4):
         self.match = match
+        self.num_threads = max(1, num_threads)
         self.mismatch = mismatch
         self.gap = gap
         self.batch_size = batch_size
@@ -122,14 +123,31 @@ class BatchedPOAEngine:
         for i in eligible:
             d = len(windows[i].sequences) - 1
             by_depth.setdefault(bucket_depth(d), []).append(i)
+        # depth-homogeneous chunks: a chunk runs max(depth) layer steps, so
+        # sorting by depth minimizes idle (inactive) layer slots
+        for idxs in by_depth.values():
+            idxs.sort(key=lambda i: len(windows[i].sequences))
 
+        # Pipeline: launch device work a few chunks ahead, collect behind —
+        # the download + host consensus of chunk k overlaps the device
+        # compute of chunks k+1.. (the reference overlaps CPU and GPU via
+        # batch threads, src/cuda/cudapolisher.cpp:286-345; here JAX async
+        # dispatch provides the overlap)
+        in_flight: List = []
+        MAX_IN_FLIGHT = 3
         for _, idxs in sorted(by_depth.items()):
             for chunk_start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[chunk_start:chunk_start + self.batch_size]
                 depth = max(len(windows[i].sequences) - 1 for i in chunk)
-                self._run_chunk(chunk, windows, results, trim,
-                                B=len(chunk), D=depth, L=L, L0=L0, N=N,
-                                t_cap=t_cap)
+                packed = self._launch_chunk(chunk, windows,
+                                            B=len(chunk), D=depth, L=L,
+                                            L0=L0, N=N, t_cap=t_cap)
+                in_flight.append((chunk, packed))
+                if len(in_flight) > MAX_IN_FLIGHT:
+                    c, p = in_flight.pop(0)
+                    self._collect_chunk(c, windows, results, trim, p)
+        for c, p in in_flight:
+            self._collect_chunk(c, windows, results, trim, p)
 
         # host fallback for oversize windows and device-flagged failures
         # (native C++ oracle; reference: src/cuda/cudapolisher.cpp:354-378)
@@ -154,6 +172,15 @@ class BatchedPOAEngine:
     def _run_chunk(self, chunk: List[int], windows: List[Window], results,
                    trim: bool, B: int, D: int, L: int, L0: int, N: int,
                    t_cap: int) -> None:
+        packed = self._launch_chunk(chunk, windows, B=B, D=D, L=L, L0=L0,
+                                    N=N, t_cap=t_cap)
+        self._collect_chunk(chunk, windows, results, trim, packed)
+
+    def _launch_chunk(self, chunk: List[int], windows: List[Window],
+                      B: int, D: int, L: int, L0: int, N: int,
+                      t_cap: int):
+        """Build + dispatch the device program for one chunk; returns the
+        (still device-resident) download dict."""
         import jax.numpy as jnp
         from racon_tpu.poa import engine as E
         from racon_tpu.poa.graph import weights_from_quality
@@ -234,26 +261,41 @@ class BatchedPOAEngine:
                                        t_cap=t_cap,
                                        use_pallas=self.use_pallas)
             packed = E.pack_for_download(state)
+        return packed
 
-        # download (downcast dtypes) + host consensus/trim
+    def _collect_chunk(self, chunk: List[int], windows: List[Window],
+                       results, trim: bool, packed) -> None:
+        """Download one chunk's graphs and run host consensus/trim."""
         packed = {k: np.asarray(v) for k, v in packed.items()}
-        codes = packed["codes"]
-        pred = packed["pred"]
-        pred_w = packed["pred_w"]
-        pred_cnt = packed["pred_cnt"]
-        cov = packed["cov"]
-        order_a = packed["order"]
-        rank_a = packed["rank"]
-        n_nodes = packed["n_nodes"]
         failed = packed["failed"]
+        n_nodes = packed["n_nodes"]
+        Bp = failed.shape[0]
+
+        skip = np.ones(Bp, np.uint8)
+        for b, i in enumerate(chunk):
+            if not failed[b]:
+                skip[b] = 0
+
+        native = None
+        try:
+            from racon_tpu.native import rtlib
+            native = rtlib.consensus_batch(packed, skip,
+                                           num_threads=self.num_threads)
+        except Exception:  # pragma: no cover - no compiler available
+            pass
 
         for b, i in enumerate(chunk):
             if failed[b]:
                 continue  # -> oracle fallback
-            ccodes, ccov = consensus_from_arrays(
-                codes[b], pred[b], pred_w[b], pred_cnt[b], cov[b],
-                order_a[b], rank_a[b], int(n_nodes[b]))
-            consensus = decode(ccodes)
+            if native is not None and native[b] is not None:
+                consensus, ccov = native[b]
+            else:
+                ccodes, ccov = consensus_from_arrays(
+                    packed["codes"][b], packed["pred"][b],
+                    packed["pred_w"][b], packed["pred_cnt"][b],
+                    packed["cov"][b], packed["order"][b],
+                    packed["rank"][b], int(n_nodes[b]))
+                consensus = decode(ccodes)
             w = windows[i]
             if w.type == WindowType.TGS and trim:
                 consensus = trim_consensus(consensus, ccov,

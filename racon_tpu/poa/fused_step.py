@@ -232,7 +232,8 @@ def make_fused_kernel(N: int, P: int, t_cap: int, match: int, mismatch: int,
             hs[prs] = jnp.int32(1)
             hps = jnp.where(valid,
                             jax.lax.shift_right_arithmetic(
-                                H[prs], jnp.int32(16)), NEG)
+                                H[pl.ds(prs * SUB, SUB)], jnp.int32(16)),
+                            NEG)
             return hps, prs, valid
 
         def dp_body(r, _):
@@ -271,17 +272,21 @@ def make_fused_kernel(N: int, P: int, t_cap: int, match: int, mismatch: int,
             codebits = jnp.where(closed > pre, HZ_PAYLOAD, acc & 0xFFFF)
             packed = jnp.where(jidx <= ell, closed * 65536 + codebits,
                                NEG * 65536)
-            H[r] = packed
+            H[pl.ds(r * SUB, SUB)] = packed
             return 0
 
         if stop_phase >= 1:
             jax.lax.fori_loop(rb, re + 1, dp_body, 0)
 
         # ---- phase 2: sink selection (max score, earliest rank) --------- #
+        ell_sub = ell // LANE
+        ell_lane = ell - ell_sub * LANE
+
         def sink_body(r, best):
             bs, br = best
+            row = H[pl.ds(r * SUB + ell_sub, 1)]
             score = jax.lax.shift_right_arithmetic(
-                _extract_packed(H[r], ell), jnp.int32(16))
+                _extract_lane(row, ell_lane), jnp.int32(16))
             better = (hs[r] == 0) & (score > bs)
             return (jnp.where(better, score, bs), jnp.where(better, r, br))
 
@@ -299,7 +304,8 @@ def make_fused_kernel(N: int, P: int, t_cap: int, match: int, mismatch: int,
         def tb_body(c):
             vr, j, t, ts, done = c
             at_virtual = vr == N
-            packed = _extract_packed(H[jnp.clip(vr, 0, N)], j)
+            vs = jnp.clip(vr, 0, N) * SUB + j // LANE
+            packed = _extract_lane(H[pl.ds(vs, 1)], j % LANE)
             move = jnp.where(
                 at_virtual, HORIZ,
                 31 - (jax.lax.shift_right_arithmetic(
@@ -821,7 +827,7 @@ def fused_layer_step(fs: FusedState, meta, seq_t, wts_t, p_cap: int,
             sds((Np1, B, 1, LANE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Np1, SUB, LANE), jnp.int32),      # H (packed)
+            pltpu.VMEM((Np1 * SUB, LANE), jnp.int32),     # H (packed)
             pltpu.SMEM((Np1,), jnp.int32),                # hs
             pltpu.SMEM((LP,), jnp.int32),                 # pnode
             pltpu.SMEM((LP,), jnp.int32),                 # ppos
