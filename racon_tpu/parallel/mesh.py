@@ -60,3 +60,56 @@ def pad_batch_to_mesh(n: int, mesh: Mesh) -> int:
     """Batch sizes must divide evenly across the dp axis."""
     k = mesh.shape[DP_AXIS]
     return -(-n // k) * k
+
+
+def process_shard() -> tuple:
+    """(shard_id, num_shards) for multi-host window sharding.
+
+    Real multi-host runs use the JAX process topology (after
+    initialize_distributed); single-process runs return (0, 1).
+    """
+    return jax.process_index(), jax.process_count()
+
+
+def allgather_bytes(pieces, shard_id: int, num_shards: int):
+    """All-gather variable-length byte strings across hosts.
+
+    pieces: list of (index, bytes) owned by this shard.  Returns the full
+    {index: bytes} map, identical on every host (DCN allgather of padded
+    uint8 arrays; lengths gathered alongside).  Deterministic: entries are
+    keyed by global window index, so stitching order never depends on
+    which host computed what (reference stitches sequentially,
+    src/polisher.cpp:510-531).
+    """
+    if num_shards == 1:
+        return dict(pieces)
+    from jax.experimental import multihost_utils
+
+    max_len = max((len(b) for _, b in pieces), default=0)
+    max_n = len(pieces)
+    # every process must contribute identically-shaped arrays
+    dims = np.asarray([max_n, max_len], np.int32)
+    all_dims = np.asarray(multihost_utils.process_allgather(dims))
+    n_pad = int(all_dims[:, 0].max())
+    l_pad = int(all_dims[:, 1].max())
+
+    idx = np.full((n_pad,), -1, np.int32)
+    lens = np.zeros((n_pad,), np.int32)
+    buf = np.zeros((n_pad, max(l_pad, 1)), np.uint8)
+    for j, (i, b) in enumerate(pieces):
+        idx[j] = i
+        lens[j] = len(b)
+        buf[j, :len(b)] = np.frombuffer(b, np.uint8)
+
+    g_idx = np.asarray(multihost_utils.process_allgather(idx))
+    g_lens = np.asarray(multihost_utils.process_allgather(lens))
+    g_buf = np.asarray(multihost_utils.process_allgather(buf))
+
+    out = {}
+    for s in range(g_idx.shape[0]):
+        for j in range(g_idx.shape[1]):
+            i = int(g_idx[s, j])
+            if i < 0:
+                continue
+            out[i] = g_buf[s, j, :int(g_lens[s, j])].tobytes()
+    return out

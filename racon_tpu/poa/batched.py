@@ -37,7 +37,8 @@ class BatchedPOAEngine:
                  batch_size: int = 32, p_cap: int = 12,
                  node_factor: float = 3.5, mesh=None,
                  use_pallas: Optional[bool] = None,
-                 mode: Optional[str] = None, num_threads: int = 4):
+                 mode: Optional[str] = None, num_threads: int = 4,
+                 devices=None):
         self.match = match
         self.num_threads = max(1, num_threads)
         self.mismatch = mismatch
@@ -58,6 +59,16 @@ class BatchedPOAEngine:
         assert mode in ("fused", "pallas", "xla")
         self.mode = mode
         self.use_pallas = mode == "pallas"
+        if devices is None:
+            # multi-chip: independent chunks round-robin over the local
+            # devices — the TPU-native form of the reference's N batches x
+            # M GPUs scheduling (src/cuda/cudapolisher.cpp:165-199), with
+            # static placement instead of a mutex queue and zero ICI
+            # collectives (windows are embarrassingly parallel)
+            import jax
+            devices = jax.local_devices()
+        self.devices = list(devices)
+        self._next_device = 0
         self.stats = {"windows": 0, "device": 0, "fallback": 0, "trivial": 0}
 
     # ------------------------------------------------------------------ #
@@ -134,7 +145,7 @@ class BatchedPOAEngine:
         # batch threads, src/cuda/cudapolisher.cpp:286-345; here JAX async
         # dispatch provides the overlap)
         in_flight: List = []
-        MAX_IN_FLIGHT = 3
+        MAX_IN_FLIGHT = max(3, 2 * len(self.devices))
         for _, idxs in sorted(by_depth.items()):
             for chunk_start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[chunk_start:chunk_start + self.batch_size]
@@ -180,10 +191,17 @@ class BatchedPOAEngine:
                       B: int, D: int, L: int, L0: int, N: int,
                       t_cap: int):
         """Build + dispatch the device program for one chunk; returns the
-        (still device-resident) download dict."""
+        (still device-resident) download dict.  Each chunk is placed whole
+        on one local device, round-robin — computation follows placement,
+        so chunks run concurrently across chips with no collectives."""
+        import jax
         import jax.numpy as jnp
         from racon_tpu.poa import engine as E
         from racon_tpu.poa.graph import weights_from_quality
+
+        device = self.devices[self._next_device % len(self.devices)]
+        self._next_device += 1
+        put = lambda x: jax.device_put(jnp.asarray(x), device)
 
         Bp = self.batch_size  # pad batch to fixed size for compile reuse
         backbone = np.full((Bp, L0), E.PAD_CODE, np.int32)
@@ -226,8 +244,8 @@ class BatchedPOAEngine:
         # (B, L, N) regardless of depth
         if self.mode == "fused":
             from racon_tpu.poa import fused_step as F
-            fs = F.init_fused(jnp.asarray(backbone), jnp.asarray(backbone_w),
-                              jnp.asarray(backbone_len), N, self.p_cap)
+            fs = F.init_fused(put(backbone), put(backbone_w),
+                              put(backbone_len), N, self.p_cap)
             metas = np.zeros((D, Bp, 1, 8), np.int32)
             metas[:, :, 0, 0] = begin
             metas[:, :, 0, 1] = end
@@ -236,9 +254,9 @@ class BatchedPOAEngine:
             metas[:, :, 0, 4] = active
             seq_t, wts_t = F.pack_layer_tiles(seq.astype(np.int32),
                                               wts.astype(np.int32))
-            metas = jnp.asarray(metas)
-            seq_t = jnp.asarray(seq_t)
-            wts_t = jnp.asarray(wts_t)
+            metas = put(metas)
+            seq_t = put(seq_t)
+            wts_t = put(wts_t)
             for d in range(D):
                 fs = F.fused_layer_step_at(
                     fs, metas, seq_t, wts_t, d, p_cap=self.p_cap,
@@ -246,15 +264,13 @@ class BatchedPOAEngine:
                     t_cap=t_cap, interpret=F.INTERPRET)
             packed = F.pack_for_download_fused(fs, p_cap=self.p_cap)
         else:
-            state = E.init_graphs(jnp.asarray(backbone),
-                                  jnp.asarray(backbone_w),
-                                  jnp.asarray(backbone_len), N, self.p_cap)
+            state = E.init_graphs(put(backbone), put(backbone_w),
+                                  put(backbone_len), N, self.p_cap)
             layers = E.LayerBatch(
-                seq=jnp.asarray(seq, dtype=jnp.int32),
-                weights=jnp.asarray(wts, dtype=jnp.int32),
-                length=jnp.asarray(length), begin=jnp.asarray(begin),
-                end=jnp.asarray(end), full=jnp.asarray(full),
-                active=jnp.asarray(active))
+                seq=put(seq.astype(np.int32)),
+                weights=put(wts.astype(np.int32)),
+                length=put(length), begin=put(begin),
+                end=put(end), full=put(full), active=put(active))
             for d in range(D):
                 state = E.add_layer_at(state, layers, d, match=self.match,
                                        mismatch=self.mismatch, gap=self.gap,

@@ -51,6 +51,13 @@ def main(argv=None) -> int:
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("--engine", default="auto",
                    choices=["auto", "tpu", "oracle", "native"])
+    p.add_argument("--checkpoint", metavar="DIR",
+                   help="per-chunk checkpoint/resume directory: each split "
+                        "part's polished FASTA is written there atomically "
+                        "and completed parts are skipped on rerun (the "
+                        "reference has no checkpointing; its wrapper chunks "
+                        "are only coarse restart points, "
+                        "scripts/racon_wrapper.py:86-148)")
     args = p.parse_args(argv)
 
     work_directory = os.path.join(
@@ -72,8 +79,19 @@ def main(argv=None) -> int:
             eprint(f"[racon_tpu_wrapper] total number of splits: "
                    f"{len(targets)}")
 
+        if args.checkpoint:
+            os.makedirs(args.checkpoint, exist_ok=True)
+
         from racon_tpu.pipeline import PolisherType, create_polisher
-        for part in targets:
+        for idx, part in enumerate(targets):
+            ckpt = (os.path.join(args.checkpoint, f"part_{idx:05d}.fasta")
+                    if args.checkpoint else None)
+            if ckpt and os.path.exists(ckpt):
+                eprint(f"[racon_tpu_wrapper] part {idx}: checkpoint found, "
+                       f"skipping")
+                with open(ckpt) as fh:
+                    shutil.copyfileobj(fh, sys.stdout)
+                continue
             eprint("[racon_tpu_wrapper] processing data with racon_tpu")
             polisher = create_polisher(
                 sequences, os.path.abspath(args.overlaps), part,
@@ -83,8 +101,15 @@ def main(argv=None) -> int:
                 args.error_threshold, True, args.match, args.mismatch,
                 args.gap, args.threads, engine=args.engine)
             polisher.initialize()
-            for s in polisher.polish(not args.include_unpolished):
-                sys.stdout.write(f">{s.name}\n{s.data.decode()}\n")
+            out = "".join(f">{s.name}\n{s.data.decode()}\n"
+                          for s in polisher.polish(
+                              not args.include_unpolished))
+            if ckpt:
+                tmp = ckpt + ".tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(out)
+                os.replace(tmp, ckpt)   # atomic: existence = complete
+            sys.stdout.write(out)
     finally:
         try:
             shutil.rmtree(work_directory)

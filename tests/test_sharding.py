@@ -47,3 +47,36 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert int(np.asarray(out.n_nodes).min()) > 0
+
+
+def test_engine_round_robin_over_devices():
+    """Chunks place round-robin over all local devices (the reference's
+    N batches x M GPUs model, src/cuda/cudapolisher.cpp:165-199) and the
+    results stay bit-identical to the oracle."""
+    import random
+
+    import jax
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    from racon_tpu.poa.consensus import consensus_window
+    from tests.test_engine import make_window
+
+    rng = random.Random(21)
+    windows = [make_window(rng, length=80, depth=5)[0] for _ in range(12)]
+    eng = BatchedPOAEngine(3, -5, -4, batch_size=2, mode="xla")
+    assert len(eng.devices) == 8
+
+    seen_devices = set()
+    orig = eng._launch_chunk
+
+    def spy(chunk, windows_, **kw):
+        packed = orig(chunk, windows_, **kw)
+        leaf = packed["codes"] if isinstance(packed, dict) else packed
+        seen_devices.update(d.id for d in leaf.devices())
+        return packed
+
+    eng._launch_chunk = spy
+    got = eng.polish_windows(windows, trim=False)
+    assert len(seen_devices) >= 6, seen_devices   # 6 chunks -> 6 devices
+    for w, (cons, polished) in zip(windows, got):
+        rc, rp = consensus_window(w, 3, -5, -4, trim=False)
+        assert cons == rc and polished == rp

@@ -87,3 +87,71 @@ def test_preprocess(tmp_path, capsys):
     assert out[0] == "@r11"
     assert out[4] == "@r21"
     assert out[8] == "@r12"
+
+
+def test_wrapper_checkpoint_resume(tmp_path, capsys, monkeypatch):
+    """Per-chunk checkpointing: second run skips completed parts and emits
+    identical output (SURVEY.md §5.4 — the layer the reference lacks)."""
+    import random
+    from racon_tpu.tools import wrapper
+
+    rng = random.Random(4)
+
+    def noisy(s):
+        out = []
+        for c in s:
+            r = rng.random()
+            if r < 0.04:
+                continue
+            elif r < 0.08:
+                out.append(rng.choice("ACGT"))
+                out.append(c)
+            else:
+                out.append(c)
+        return "".join(out)
+
+    trues = ["".join(rng.choice("ACGT") for _ in range(150))
+             for _ in range(2)]
+    tpath = str(tmp_path / "t.fasta")
+    rpath = str(tmp_path / "r.fasta")
+    opath = str(tmp_path / "o.paf")
+    with open(tpath, "w") as f:
+        for i, t in enumerate(trues):
+            f.write(f">ctg{i}\n{noisy(t)}\n")
+    with open(rpath, "w") as f:
+        k = 0
+        for i, t in enumerate(trues):
+            for _ in range(4):
+                k += 1
+                f.write(f">r{k}\n{noisy(t)}\n")
+    tlens = [len(s.data) for s in parsers.parse_fasta(tpath)]
+    rlens = [len(s.data) for s in parsers.parse_fasta(rpath)]
+    with open(opath, "w") as f:
+        k = 0
+        for i, t in enumerate(trues):
+            for _ in range(4):
+                rl = rlens[k]
+                k += 1
+                f.write(f"r{k}\t{rl}\t0\t{rl}\t+\tctg{i}\t{tlens[i]}\t0\t"
+                        f"{tlens[i]}\t{min(rl, tlens[i])}\t"
+                        f"{max(rl, tlens[i])}\t60\n")
+
+    ckpt = str(tmp_path / "ckpt")
+    args = [rpath, opath, tpath, "--engine", "oracle", "-w", "100",
+            "--split", "160", "--checkpoint", ckpt]
+    assert wrapper.main(list(args)) == 0
+    first = capsys.readouterr().out
+    assert first.count(">") >= 2
+    import os
+    parts = sorted(os.listdir(ckpt))
+    assert len(parts) >= 2 and all(p.endswith(".fasta") for p in parts)
+
+    # resume: polishing must not run again
+    def boom(*a, **k):
+        raise AssertionError("polisher ran despite checkpoints")
+
+    import racon_tpu.pipeline as pipeline
+    monkeypatch.setattr(pipeline, "create_polisher", boom)
+    assert wrapper.main(list(args)) == 0
+    second = capsys.readouterr().out
+    assert second == first
