@@ -41,7 +41,22 @@ def _name_token(header: bytes) -> str:
 # sequences
 # --------------------------------------------------------------------- #
 
+def _parse_native(path: str, is_fastq: bool):
+    """C++ parser (zlib/kseq-class; the bioparser role).  Returns None when
+    the native runtime is unavailable (no compiler) so callers fall back to
+    the Python implementations below."""
+    try:
+        from racon_tpu.native import rtlib
+        recs = rtlib.parse_sequences_raw(path, is_fastq)
+    except Exception:
+        return None
+    return [Sequence(n.decode(), d, q) for n, d, q in recs]
+
+
 def parse_fasta(path: str) -> List[Sequence]:
+    native = _parse_native(path, is_fastq=False)
+    if native is not None:
+        return native
     out: List[Sequence] = []
     name = None
     chunks: List[bytes] = []
@@ -63,6 +78,9 @@ def parse_fasta(path: str) -> List[Sequence]:
 
 
 def parse_fastq(path: str) -> List[Sequence]:
+    native = _parse_native(path, is_fastq=True)
+    if native is not None:
+        return native
     out: List[Sequence] = []
     with _open(path) as f:
         it = iter(f)

@@ -22,7 +22,7 @@ def build(force: bool = False) -> str:
             return LIB_PATH
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", "-o", LIB_PATH, *SOURCES,
+        "-pthread", "-o", LIB_PATH, *SOURCES, "-lz",
     ]
     print(f"[racon_tpu::native] building: {' '.join(cmd)}", file=sys.stderr)
     subprocess.run(cmd, check=True)

@@ -23,6 +23,8 @@
 #include <thread>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 // ------------------------------------------------------------------------ //
@@ -713,6 +715,10 @@ void* rt_align_batch(const uint8_t* qbuf, const int64_t* qoff,
   return result;
 }
 
+int64_t rt_result_count(void* handle) {
+  return static_cast<BatchResult*>(handle)->items.size();
+}
+
 int64_t rt_result_len(void* handle, int64_t i) {
   return static_cast<BatchResult*>(handle)->items[i].size();
 }
@@ -947,3 +953,127 @@ void* rt_consensus_batch(
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------------------ //
+// FASTA/FASTQ parser (gzip-aware) — the role bioparser's FastaParser /
+// FastqParser play in the reference (src/polisher.cpp:85-135).
+// Semantics: record name = header token up to the first whitespace,
+// multi-line bodies concatenated, '\r' stripped.
+// Each result item packs one record:
+//   [u32 name_len][name][u64 data_len][data][u64 qual_len][qual]
+// ------------------------------------------------------------------------ //
+
+namespace {
+
+bool read_whole_file(const char* path, std::string* out) {
+  gzFile f = gzopen(path, "rb");   // handles both plain and gzip
+  if (f == nullptr) return false;
+  gzbuffer(f, 1 << 20);
+  out->clear();
+  char buf[1 << 20];
+  int n;
+  while ((n = gzread(f, buf, sizeof(buf))) > 0) out->append(buf, n);
+  gzclose(f);
+  return n >= 0;
+}
+
+inline const char* next_line(const char* p, const char* end,
+                             const char** line_end) {
+  const char* nl = static_cast<const char*>(
+      memchr(p, '\n', static_cast<size_t>(end - p)));
+  const char* le = nl == nullptr ? end : nl;
+  while (le > p && (le[-1] == '\r')) --le;
+  *line_end = le;
+  return nl == nullptr ? end : nl + 1;
+}
+
+void append_record(BatchResult* result, const char* name, size_t name_len,
+                   const std::string& data, const std::string& qual) {
+  std::string item;
+  item.reserve(4 + name_len + 16 + data.size() + qual.size());
+  uint32_t nl32 = static_cast<uint32_t>(name_len);
+  uint64_t dl = data.size(), ql = qual.size();
+  item.append(reinterpret_cast<const char*>(&nl32), 4);
+  item.append(name, name_len);
+  item.append(reinterpret_cast<const char*>(&dl), 8);
+  item.append(data);
+  item.append(reinterpret_cast<const char*>(&ql), 8);
+  item.append(qual);
+  result->items.push_back(std::move(item));
+  result->flags.push_back(1);
+}
+
+size_t name_token_len(const char* p, const char* end) {
+  const char* q = p;
+  while (q < end && *q != ' ' && *q != '\t') ++q;
+  return static_cast<size_t>(q - p);
+}
+
+}  // namespace
+
+extern "C" void* rt_parse_sequences(const char* path, int is_fastq,
+                                    int* error) {
+  *error = 0;
+  std::string buf;
+  if (!read_whole_file(path, &buf)) {
+    *error = 1;
+    return nullptr;
+  }
+  auto* result = new BatchResult();
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  std::string data, qual;
+
+  if (!is_fastq) {
+    const char* name = nullptr;
+    size_t name_len = 0;
+    while (p < end) {
+      const char* le;
+      const char* next = next_line(p, end, &le);
+      if (le > p) {
+        if (*p == '>') {
+          if (name != nullptr) append_record(result, name, name_len, data, qual);
+          name = p + 1;
+          name_len = name_token_len(name, le);
+          data.clear();
+        } else if (name != nullptr) {
+          data.append(p, static_cast<size_t>(le - p));
+        }
+      }
+      p = next;
+    }
+    if (name != nullptr) append_record(result, name, name_len, data, qual);
+    return result;
+  }
+
+  while (p < end) {
+    const char* le;
+    const char* next = next_line(p, end, &le);
+    if (le == p) { p = next; continue; }      // blank line
+    if (*p != '@') {
+      *error = 2;                              // malformed header
+      delete result;
+      return nullptr;
+    }
+    const char* name = p + 1;
+    const size_t name_len = name_token_len(name, le);
+    p = next;
+
+    data.clear();
+    while (p < end) {                          // body lines until '+'
+      const char* lb = p;
+      p = next_line(p, end, &le);
+      if (lb < le && *lb == '+') break;
+      data.append(lb, static_cast<size_t>(le - lb));
+    }
+    qual.clear();
+    while (qual.size() < data.size() && p < end) {
+      const char* lb = p;
+      p = next_line(p, end, &le);
+      qual.append(lb, static_cast<size_t>(le - lb));
+    }
+    append_record(result, name, name_len, data, qual);
+  }
+  return result;
+}
+

@@ -117,6 +117,50 @@ def polish_windows(windows, match: int, mismatch: int, gap: int, trim: bool,
     return out
 
 
+_lib.rt_result_count.restype = ctypes.c_int64
+_lib.rt_result_count.argtypes = [ctypes.c_void_p]
+_lib.rt_parse_sequences.restype = ctypes.c_void_p
+_lib.rt_parse_sequences.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_int)]
+
+
+def parse_sequences_raw(path: str, is_fastq: bool):
+    """Parse a (optionally gzipped) FASTA/FASTQ file in C++.
+
+    Returns [(name bytes, data bytes, quality bytes)], quality empty for
+    FASTA.  The role bioparser plays in the reference
+    (src/polisher.cpp:85-135)."""
+    err = ctypes.c_int(0)
+    handle = _lib.rt_parse_sequences(path.encode(), 1 if is_fastq else 0,
+                                     ctypes.byref(err))
+    if not handle:
+        if err.value == 2:
+            raise RuntimeError(
+                f"[racon_tpu::parse_fastq] error: malformed header in {path}")
+        raise RuntimeError(
+            f"[racon_tpu::rtlib] error: unable to parse {path} "
+            f"(code {err.value})")
+    out = []
+    try:
+        for i in range(_lib.rt_result_count(handle)):
+            ln = _lib.rt_result_len(handle, i)
+            buf = ctypes.create_string_buffer(ln)
+            _lib.rt_result_get(handle, i, buf)
+            raw = buf.raw
+            nl = int.from_bytes(raw[:4], "little")
+            name = raw[4:4 + nl]
+            off = 4 + nl
+            dl = int.from_bytes(raw[off:off + 8], "little")
+            data = raw[off + 8:off + 8 + dl]
+            off = off + 8 + dl
+            ql = int.from_bytes(raw[off:off + 8], "little")
+            qual = raw[off + 8:off + 8 + ql]
+            out.append((name, data, qual))
+    finally:
+        _lib.rt_result_free(handle)
+    return out
+
+
 def consensus_batch(packed: dict, skip: np.ndarray, num_threads: int = 1):
     """Heaviest-bundle consensus for a batch of downloaded device graphs.
 

@@ -75,3 +75,28 @@ def test_extension_dispatch_errors(tmp_path):
         parsers.parse_sequences("foo.txt")
     with pytest.raises(RuntimeError, match="unsupported format extension"):
         parsers.parse_overlaps("foo.txt")
+
+
+def test_native_parser_matches_python():
+    """The C++ parser and the Python reference implementation must agree
+    byte-for-byte on the bundled data (names, bodies, qualities)."""
+    import racon_tpu.io.parsers as P
+
+    for path, is_fastq in (
+            ("/root/reference/test/data/sample_reads.fastq.gz", True),
+            ("/root/reference/test/data/sample_reads.fasta.gz", False),
+            ("/root/reference/test/data/sample_layout.fasta.gz", False)):
+        native = P._parse_native(path, is_fastq)
+        assert native is not None, "native runtime unavailable"
+        # force the pure-Python path
+        orig = P._parse_native
+        P._parse_native = lambda *a, **k: None
+        try:
+            py = (P.parse_fastq(path) if is_fastq else P.parse_fasta(path))
+        finally:
+            P._parse_native = orig
+        assert len(native) == len(py)
+        for a, b in zip(native, py):
+            assert a.name == b.name
+            assert a.data == b.data
+            assert a.quality == b.quality
