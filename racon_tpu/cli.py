@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "host oracle, or native C++ fallback")
     p.add_argument("--batch-size", type=int, default=32,
                    help="windows per TPU megabatch (default: 32)")
+    p.add_argument("--tpu-align", action="store_true",
+                   help="align CIGAR-less overlaps on the TPU (banded "
+                        "wavefront kernel; like the reference's CUDA "
+                        "aligner, tie choices may differ from the host "
+                        "path — the default host aligner stays "
+                        "bit-reproducible)")
     p.add_argument("--version", action="version",
                    version=f"v{__version__}")
     return p
@@ -71,7 +77,7 @@ def main(argv=None) -> int:
         PolisherType.kF if args.fragment_correction else PolisherType.kC,
         args.window_length, args.quality_threshold, args.error_threshold,
         not args.no_trimming, args.match, args.mismatch, args.gap,
-        args.threads, engine=args.engine)
+        args.threads, engine=args.engine, tpu_align=args.tpu_align)
     polisher.initialize()
     polished = polisher.polish(not args.include_unpolished)
 

@@ -39,7 +39,8 @@ def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
                     window_length: int = 500, quality_threshold: float = 10.0,
                     error_threshold: float = 0.3, trim: bool = True,
                     match: int = 3, mismatch: int = -5, gap: int = -4,
-                    num_threads: int = 1, engine: str = "auto") -> "Polisher":
+                    num_threads: int = 1, engine: str = "auto",
+                    tpu_align: bool = False) -> "Polisher":
     """Factory with the reference's validation surface
     (reference: src/polisher.cpp:57-163)."""
     if not isinstance(type, PolisherType):
@@ -59,7 +60,7 @@ def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
                 f"{', '.join(exts)})!")
     return Polisher(sequences_path, overlaps_path, target_path, type,
                     window_length, quality_threshold, error_threshold, trim,
-                    match, mismatch, gap, num_threads, engine)
+                    match, mismatch, gap, num_threads, engine, tpu_align)
 
 
 class Polisher:
@@ -67,7 +68,7 @@ class Polisher:
                  target_path: str, type: PolisherType, window_length: int,
                  quality_threshold: float, error_threshold: float, trim: bool,
                  match: int, mismatch: int, gap: int, num_threads: int,
-                 engine: str = "auto"):
+                 engine: str = "auto", tpu_align: bool = False):
         self.sequences_path = sequences_path
         self.overlaps_path = overlaps_path
         self.target_path = target_path
@@ -81,6 +82,7 @@ class Polisher:
         self.gap = gap
         self.num_threads = num_threads
         self.engine_name = engine
+        self.tpu_align = tpu_align
 
         self.sequences: List[Sequence] = []
         self.windows: List[Window] = []
@@ -252,6 +254,8 @@ class Polisher:
                         "transformed data into windows")
 
     def _find_overlap_breaking_points(self, overlaps: List[Overlap]) -> None:
+        import os
+
         from racon_tpu.align.aligner import get_aligner
         aligner = get_aligner(self.num_threads)
         # batch the CIGAR-less overlaps through the aligner
@@ -267,7 +271,28 @@ class Polisher:
                         o.q_length - o.q_end:o.q_length - o.q_begin]
                 t = self.sequences[o.t_id].data[o.t_begin:o.t_end]
                 pairs.append((q, t))
-            cigars = aligner.align_batch(pairs)
+            cigars = [None] * len(pairs)
+            if self.tpu_align or os.environ.get("RACON_TPU_ALIGN") == "1":
+                # opt-in device alignment (SURVEY.md §7 step 6; like the
+                # reference GPU aligner, ties may differ from the host
+                # path — src/cuda tests carry divergent goldens)
+                try:
+                    from racon_tpu.align.pallas_align import PallasAligner
+                    pa = PallasAligner(num_threads=self.num_threads)
+                    cigars = pa.align_batch(pairs)
+                    print(f"[racon_tpu::Polisher] tpu-align: "
+                          f"{pa.stats['device']} on device, "
+                          f"{pa.stats['fallback']} host fallback",
+                          file=sys.stderr)
+                except Exception as e:  # pragma: no cover
+                    print(f"[racon_tpu::Polisher] warning: tpu-align "
+                          f"unavailable ({e}); using host aligner",
+                          file=sys.stderr)
+            host_idx = [i for i, c in enumerate(cigars) if c is None]
+            if host_idx:
+                host = aligner.align_batch([pairs[i] for i in host_idx])
+                for i, c in zip(host_idx, host):
+                    cigars[i] = c
             for o, c in zip(need, cigars):
                 o.cigar = c
         for o in overlaps:
