@@ -66,6 +66,15 @@ def test_consensus_with_qualities_paf():
 
 @needs_data
 @pytest.mark.slow
+def test_consensus_without_qualities_sam():
+    dst = run_polish("sample_reads.fasta.gz", "sample_overlaps.sam.gz")
+    assert len(dst) == 1
+    ed = ed_vs_truth(dst[0])
+    assert ed <= 1770 * 1.05   # reference golden 1770
+
+
+@needs_data
+@pytest.mark.slow
 def test_consensus_without_qualities_paf():
     dst = run_polish("sample_reads.fasta.gz", "sample_overlaps.paf.gz")
     ed = ed_vs_truth(dst[0])
