@@ -123,21 +123,12 @@ class BatchedPOAEngine:
             if not check_capacity(N, self.match, self.mismatch, self.gap, L):
                 self.mode = "xla"
 
-        # depth buckets (powers of two) to bound compilation count
-        def bucket_depth(d: int) -> int:
-            b = 8
-            while b < d:
-                b *= 2
-            return b
-
-        by_depth: dict = {}
-        for i in eligible:
-            d = len(windows[i].sequences) - 1
-            by_depth.setdefault(bucket_depth(d), []).append(i)
-        # depth-homogeneous chunks: a chunk runs max(depth) layer steps, so
-        # sorting by depth minimizes idle (inactive) layer slots
-        for idxs in by_depth.values():
-            idxs.sort(key=lambda i: len(windows[i].sequences))
+        # depth-homogeneous chunks: the compiled program shape is
+        # (B, L, N) — independent of depth (layers are sliced dynamically
+        # on device) — so no depth bucketing is needed at all; sorting by
+        # depth and chunking consecutively makes every chunk run
+        # ~min(depth)==max(depth) layer steps with no idle layer slots
+        eligible.sort(key=lambda i: len(windows[i].sequences))
 
         # Pipeline: launch device work a few chunks ahead, collect behind —
         # the download + host consensus of chunk k overlaps the device
@@ -146,17 +137,16 @@ class BatchedPOAEngine:
         # dispatch provides the overlap)
         in_flight: List = []
         MAX_IN_FLIGHT = max(3, 2 * len(self.devices))
-        for _, idxs in sorted(by_depth.items()):
-            for chunk_start in range(0, len(idxs), self.batch_size):
-                chunk = idxs[chunk_start:chunk_start + self.batch_size]
-                depth = max(len(windows[i].sequences) - 1 for i in chunk)
-                packed = self._launch_chunk(chunk, windows,
-                                            B=len(chunk), D=depth, L=L,
-                                            L0=L0, N=N, t_cap=t_cap)
-                in_flight.append((chunk, packed))
-                if len(in_flight) > MAX_IN_FLIGHT:
-                    c, p = in_flight.pop(0)
-                    self._collect_chunk(c, windows, results, trim, p)
+        for chunk_start in range(0, len(eligible), self.batch_size):
+            chunk = eligible[chunk_start:chunk_start + self.batch_size]
+            depth = max(len(windows[i].sequences) - 1 for i in chunk)
+            packed = self._launch_chunk(chunk, windows,
+                                        B=len(chunk), D=depth, L=L,
+                                        L0=L0, N=N, t_cap=t_cap)
+            in_flight.append((chunk, packed))
+            if len(in_flight) > MAX_IN_FLIGHT:
+                c, p = in_flight.pop(0)
+                self._collect_chunk(c, windows, results, trim, p)
         for c, p in in_flight:
             self._collect_chunk(c, windows, results, trim, p)
 

@@ -87,6 +87,7 @@ INT_MAX = (2 ** 31) - 1
 BIG_RANK = 2 ** 30        # rank sentinel, matches engine
 SUB = 8
 LANE = 128
+NR_LANE = 32              # per-node overflow-row width (>= 2*P)
 LP = SUB * LANE           # packed DP row capacity (max L+1), as in pallas_dp
 
 # Set True (tests on the CPU backend) to run the kernel interpreted.
@@ -97,7 +98,7 @@ def _lane_layout(P: int):
     """Lane indices inside the per-node VMEM overflow row: pred ids at
     [0,P) and pred weights at [P,2P) (slots 0 and 1 unused — their truth
     lives in the SMEM mirrors)."""
-    assert 2 * P < LANE
+    assert 2 * P < NR_LANE
     return 0, P
 
 
@@ -138,7 +139,13 @@ def _extract_packed(tile, jj):
 
 
 def _extract_lane(row, idx):
-    """Scalar value of a (1,128) row at lane idx."""
+    """Scalar value of a (1, NR_LANE) row at lane idx."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NR_LANE), 1)
+    return jnp.max(jnp.where(lane == idx, row, INT_MIN))
+
+
+def _extract_lane128(row, idx):
+    """Scalar value of a (1, LANE) row at lane idx."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     return jnp.max(jnp.where(lane == idx, row, INT_MIN))
 
@@ -181,7 +188,7 @@ def make_fused_kernel(N: int, P: int, t_cap: int, match: int, mismatch: int,
         jidx = _iota2()
         jgapm = jnp.where(jidx <= ell, jidx * g_i, NEG)     # masked j*gap
         seq_tile = seq_ref[0]
-        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, NR_LANE), 1)
         # constant overflow row for freshly created nodes
         empty_row = jnp.where((lane1 >= LN_PRED) & (lane1 < LN_PRED + P),
                               N, 0)
@@ -286,7 +293,7 @@ def make_fused_kernel(N: int, P: int, t_cap: int, match: int, mismatch: int,
             bs, br = best
             row = H[pl.ds(r * SUB + ell_sub, 1)]
             score = jax.lax.shift_right_arithmetic(
-                _extract_lane(row, ell_lane), jnp.int32(16))
+                _extract_lane128(row, ell_lane), jnp.int32(16))
             better = (hs[r] == 0) & (score > bs)
             return (jnp.where(better, score, bs), jnp.where(better, r, br))
 
@@ -305,7 +312,7 @@ def make_fused_kernel(N: int, P: int, t_cap: int, match: int, mismatch: int,
             vr, j, t, ts, done = c
             at_virtual = vr == N
             vs = jnp.clip(vr, 0, N) * SUB + j // LANE
-            packed = _extract_lane(H[pl.ds(vs, 1)], j % LANE)
+            packed = _extract_lane128(H[pl.ds(vs, 1)], j % LANE)
             move = jnp.where(
                 at_virtual, HORIZ,
                 31 - (jax.lax.shift_right_arithmetic(
@@ -644,7 +651,7 @@ def pack_state(state: GraphState) -> FusedState:
     N = Np1 - 1
     LN_PRED, LN_PREDW = _lane_layout(P)
 
-    noderow = jnp.zeros((B, Np1, LANE), jnp.int32)
+    noderow = jnp.zeros((B, Np1, NR_LANE), jnp.int32)
     noderow = noderow.at[:, :, LN_PRED:LN_PRED + P].set(state.pred)
     noderow = noderow.at[:, :, LN_PREDW:LN_PREDW + P].set(state.pred_w)
     # slots 0 and 1 are mirrored in SMEM; keep the rows canonical (empty)
@@ -794,7 +801,7 @@ def fused_layer_step(fs: FusedState, meta, seq_t, wts_t, p_cap: int,
                                   memory_space=pltpu.SMEM)
     smem_let = pl.BlockSpec((1, ALPHABET, Np1), lambda b: (b, 0, 0),
                             memory_space=pltpu.SMEM)
-    vrow = pl.BlockSpec((Np1, 1, 1, LANE), lambda b: (0, b, 0, 0),
+    vrow = pl.BlockSpec((Np1, 1, 1, NR_LANE), lambda b: (0, b, 0, 0),
                         memory_space=pltpu.VMEM)
     sds = jax.ShapeDtypeStruct
     outs = pl.pallas_call(
@@ -824,7 +831,7 @@ def fused_layer_step(fs: FusedState, meta, seq_t, wts_t, p_cap: int,
             sds((B, 1, 2), jnp.int32),
         ] + [sds((B, 1, Np1), jnp.int32)] * 11 + [
             sds((B, ALPHABET, Np1), jnp.int32),
-            sds((Np1, B, 1, LANE), jnp.int32),
+            sds((Np1, B, 1, NR_LANE), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Np1 * SUB, LANE), jnp.int32),     # H (packed)
@@ -907,10 +914,10 @@ def init_fused(backbone: jnp.ndarray, backbone_w: jnp.ndarray,
          for l in range(ALPHABET)], axis=1)                # [B, A, N+1]
 
     LN_PRED, LN_PREDW = _lane_layout(P)
-    lane = jnp.arange(LANE, dtype=jnp.int32)
+    lane = jnp.arange(NR_LANE, dtype=jnp.int32)
     empty_row = jnp.where((lane >= LN_PRED) & (lane < LN_PRED + P), N, 0)
     noderow = jnp.broadcast_to(empty_row[None, None, None, :],
-                               (N + 1, B, 1, LANE)).astype(jnp.int32)
+                               (N + 1, B, 1, NR_LANE)).astype(jnp.int32)
 
     nn = jnp.stack([backbone_len.astype(jnp.int32),
                     jnp.zeros((B,), jnp.int32)], axis=1)[:, None, :]
