@@ -126,6 +126,17 @@ def parse_sequences(path: str) -> List[Sequence]:
 # --------------------------------------------------------------------- #
 
 def parse_mhap(path: str) -> List[Overlap]:
+    try:
+        from racon_tpu.native import rtlib
+        recs = rtlib.parse_overlaps_raw(path, "mhap")
+        return [Overlap.from_mhap(a_id=r[0], b_id=r[1], a_rc=r[2],
+                                  a_begin=r[3], a_end=r[4], a_length=r[5],
+                                  b_rc=r[6], b_begin=r[7], b_end=r[8],
+                                  b_length=r[9]) for r in recs]
+    except ImportError:
+        pass
+    except OSError:
+        pass
     out: List[Overlap] = []
     with _open(path) as f:
         for line in f:
@@ -142,6 +153,17 @@ def parse_mhap(path: str) -> List[Overlap]:
 
 
 def parse_paf(path: str) -> List[Overlap]:
+    try:
+        from racon_tpu.native import rtlib
+        recs = rtlib.parse_overlaps_raw(path, "paf")
+        return [Overlap.from_paf(q_name=r[0], q_length=r[3], q_begin=r[4],
+                                 q_end=r[5], orientation=r[2], t_name=r[1],
+                                 t_length=r[6], t_begin=r[7], t_end=r[8])
+                for r in recs]
+    except ImportError:
+        pass
+    except OSError:
+        pass
     out: List[Overlap] = []
     with _open(path) as f:
         for line in f:
@@ -158,6 +180,15 @@ def parse_paf(path: str) -> List[Overlap]:
 
 
 def parse_sam(path: str) -> List[Overlap]:
+    try:
+        from racon_tpu.native import rtlib
+        recs = rtlib.parse_overlaps_raw(path, "sam")
+        return [Overlap.from_sam(q_name=r[0], flag=r[1], t_name=r[2],
+                                 t_pos=r[3], cigar=r[4]) for r in recs]
+    except ImportError:
+        pass
+    except OSError:
+        pass
     out: List[Overlap] = []
     with _open(path) as f:
         for line in f:

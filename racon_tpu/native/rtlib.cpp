@@ -952,6 +952,7 @@ void* rt_consensus_batch(
   return result;
 }
 
+
 }  // extern "C"
 
 // ------------------------------------------------------------------------ //
@@ -1076,4 +1077,132 @@ extern "C" void* rt_parse_sequences(const char* path, int is_fastq,
   }
   return result;
 }
+
+// ------------------------------------------------------------------------ //
+// Overlap parsers: MHAP / PAF / SAM (gzip-aware) — the role bioparser's
+// MhapParser / PafParser / SamParser play (reference: src/polisher.cpp:
+// 311-314).  Numeric fields are packed little-endian; names as strings.
+// Record layouts per item:
+//   MHAP: 10 x i64 (a_id b_id a_rc a_begin a_end a_length b_rc b_begin
+//                   b_end b_length)
+//   PAF:  [u32 qn_len][q_name][u32 tn_len][t_name][u8 strand('+'/'-')]
+//         [7 x i64: q_length q_begin q_end t_length t_begin t_end 0]
+//   SAM:  [u32 qn_len][q_name][u32 tn_len][t_name][u32 cigar_len][cigar]
+//         [2 x i64: flag t_pos]
+// ------------------------------------------------------------------------ //
+
+namespace {
+
+struct Field {
+  const char* p;
+  size_t len;
+};
+
+// split a line on tabs/spaces into at most max_n fields
+int split_fields(const char* p, const char* end, Field* out, int max_n,
+                 bool tabs_only) {
+  int n = 0;
+  const char* s = p;
+  while (s < end && n < max_n) {
+    const char* e = s;
+    while (e < end && !(*e == '\t' || (!tabs_only && *e == ' '))) ++e;
+    out[n].p = s;
+    out[n].len = static_cast<size_t>(e - s);
+    ++n;
+    s = e + 1;
+    if (!tabs_only) {
+      while (s < end && (*s == ' ' || *s == '\t')) ++s;
+    }
+  }
+  return n;
+}
+
+int64_t to_i64(const Field& f) {
+  int64_t v = 0;
+  bool neg = false;
+  size_t i = 0;
+  if (f.len > 0 && (f.p[0] == '-' || f.p[0] == '+')) {
+    neg = f.p[0] == '-';
+    i = 1;
+  }
+  for (; i < f.len; ++i) {
+    const char c = f.p[i];
+    if (c < '0' || c > '9') break;
+    v = v * 10 + (c - '0');
+  }
+  return neg ? -v : v;
+}
+
+void put_u32(std::string* s, uint32_t v) {
+  s->append(reinterpret_cast<const char*>(&v), 4);
+}
+
+void put_i64(std::string* s, int64_t v) {
+  s->append(reinterpret_cast<const char*>(&v), 8);
+}
+
+}  // namespace
+
+// fmt: 0 = MHAP, 1 = PAF, 2 = SAM
+extern "C" void* rt_parse_overlaps(const char* path, int fmt, int* error) {
+  *error = 0;
+  std::string buf;
+  if (!read_whole_file(path, &buf)) {
+    *error = 1;
+    return nullptr;
+  }
+  auto* result = new BatchResult();
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  Field f[16];
+  std::string item;
+
+  while (p < end) {
+    const char* le;
+    const char* next = next_line(p, end, &le);
+    const char* lb = p;
+    p = next;
+    if (le == lb) continue;
+    if (fmt == 2 && *lb == '@') continue;      // SAM header
+    item.clear();
+    if (fmt == 0) {                            // MHAP (space or tab)
+      const int n = split_fields(lb, le, f, 12, false);
+      if (n < 12) continue;
+      // a_id b_id [err shared] a_rc a_begin a_end a_length
+      //                        b_rc b_begin b_end b_length
+      static const int idx[10] = {0, 1, 4, 5, 6, 7, 8, 9, 10, 11};
+      for (int k = 0; k < 10; ++k) put_i64(&item, to_i64(f[idx[k]]));
+    } else if (fmt == 1) {                     // PAF (tabs)
+      const int n = split_fields(lb, le, f, 12, true);
+      if (n < 12) continue;
+      put_u32(&item, static_cast<uint32_t>(f[0].len));
+      item.append(f[0].p, f[0].len);
+      put_u32(&item, static_cast<uint32_t>(f[5].len));
+      item.append(f[5].p, f[5].len);
+      item.push_back(f[4].len > 0 ? f[4].p[0] : '+');
+      put_i64(&item, to_i64(f[1]));
+      put_i64(&item, to_i64(f[2]));
+      put_i64(&item, to_i64(f[3]));
+      put_i64(&item, to_i64(f[6]));
+      put_i64(&item, to_i64(f[7]));
+      put_i64(&item, to_i64(f[8]));
+      put_i64(&item, 0);
+    } else {                                   // SAM (tabs)
+      const int n = split_fields(lb, le, f, 11, true);
+      if (n < 11) continue;
+      put_u32(&item, static_cast<uint32_t>(f[0].len));
+      item.append(f[0].p, f[0].len);
+      put_u32(&item, static_cast<uint32_t>(f[2].len));
+      item.append(f[2].p, f[2].len);
+      put_u32(&item, static_cast<uint32_t>(f[5].len));
+      item.append(f[5].p, f[5].len);
+      put_i64(&item, to_i64(f[1]));
+      put_i64(&item, to_i64(f[3]));
+    }
+    result->items.push_back(item);
+    result->flags.push_back(1);
+  }
+  return result;
+}
+
 

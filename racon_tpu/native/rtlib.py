@@ -161,6 +161,61 @@ def parse_sequences_raw(path: str, is_fastq: bool):
     return out
 
 
+_lib.rt_parse_overlaps.restype = ctypes.c_void_p
+_lib.rt_parse_overlaps.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                   ctypes.POINTER(ctypes.c_int)]
+_FMT = {"mhap": 0, "paf": 1, "sam": 2}
+
+
+def parse_overlaps_raw(path: str, fmt: str):
+    """Parse a (optionally gzipped) MHAP/PAF/SAM file in C++.
+
+    Returns a list of per-format tuples (see rtlib.cpp record layouts)."""
+    import struct
+
+    err = ctypes.c_int(0)
+    handle = _lib.rt_parse_overlaps(path.encode(), _FMT[fmt],
+                                    ctypes.byref(err))
+    if not handle:
+        raise RuntimeError(
+            f"[racon_tpu::rtlib] error: unable to parse {path} "
+            f"(code {err.value})")
+    out = []
+    try:
+        for i in range(_lib.rt_result_count(handle)):
+            ln = _lib.rt_result_len(handle, i)
+            buf = ctypes.create_string_buffer(ln)
+            _lib.rt_result_get(handle, i, buf)
+            raw = buf.raw
+            if fmt == "mhap":
+                out.append(struct.unpack("<10q", raw))
+            elif fmt == "paf":
+                qn = int.from_bytes(raw[:4], "little")
+                q_name = raw[4:4 + qn].decode()
+                off = 4 + qn
+                tn = int.from_bytes(raw[off:off + 4], "little")
+                t_name = raw[off + 4:off + 4 + tn].decode()
+                off = off + 4 + tn
+                strand = chr(raw[off])
+                nums = struct.unpack("<7q", raw[off + 1:off + 1 + 56])
+                out.append((q_name, t_name, strand) + nums[:6])
+            else:
+                qn = int.from_bytes(raw[:4], "little")
+                q_name = raw[4:4 + qn].decode()
+                off = 4 + qn
+                tn = int.from_bytes(raw[off:off + 4], "little")
+                t_name = raw[off + 4:off + 4 + tn].decode()
+                off = off + 4 + tn
+                cl = int.from_bytes(raw[off:off + 4], "little")
+                cigar = raw[off + 4:off + 4 + cl]
+                off = off + 4 + cl
+                flag, t_pos = struct.unpack("<2q", raw[off:off + 16])
+                out.append((q_name, flag, t_name, t_pos, cigar))
+    finally:
+        _lib.rt_result_free(handle)
+    return out
+
+
 def consensus_batch(packed: dict, skip: np.ndarray, num_threads: int = 1):
     """Heaviest-bundle consensus for a batch of downloaded device graphs.
 

@@ -100,3 +100,29 @@ def test_native_parser_matches_python():
             assert a.name == b.name
             assert a.data == b.data
             assert a.quality == b.quality
+
+
+def test_native_overlap_parsers_match_python():
+    import racon_tpu.io.parsers as P
+    import racon_tpu.native.rtlib as rtlib
+
+    D = "/root/reference/test/data"
+    for path, fn in ((f"{D}/sample_overlaps.paf.gz", P.parse_paf),
+                     (f"{D}/sample_overlaps.sam.gz", P.parse_sam),
+                     (f"{D}/sample_ava_overlaps.mhap.gz", P.parse_mhap)):
+        native = fn(path)
+        orig = rtlib.parse_overlaps_raw
+        rtlib.parse_overlaps_raw = lambda *a, **k: (_ for _ in ()).throw(
+            OSError("force python"))
+        try:
+            py = fn(path)
+        finally:
+            rtlib.parse_overlaps_raw = orig
+        assert len(native) == len(py), path
+        for a, b in zip(native, py):
+            for attr in ("q_id", "t_id", "q_begin", "q_end", "t_begin",
+                         "t_end", "q_length", "t_length", "strand", "error",
+                         "cigar", "q_name", "t_name"):
+                av = getattr(a, attr, None)
+                bv = getattr(b, attr, None)
+                assert av == bv, (path, attr, av, bv)
