@@ -110,6 +110,26 @@ def parse_fastq(path: str) -> List[Sequence]:
     return out
 
 
+def iter_sequence_chunks(path: str, chunk_bytes: int = 1 << 30):
+    """Yield lists of Sequence records holding at most ``chunk_bytes`` of
+    data each — the reference's 1 GiB chunked ingest
+    (src/polisher.cpp:30, 200-265).  Falls back to a single whole-file
+    chunk when the native runtime is unavailable."""
+    is_fastq = path.endswith(FASTQ_EXTENSIONS)
+    if not is_fastq and not path.endswith(FASTA_EXTENSIONS):
+        raise RuntimeError(
+            f"[racon_tpu::iter_sequence_chunks] error: file {path} has "
+            f"unsupported format extension")
+    try:
+        from racon_tpu.native import rtlib
+        stream = rtlib.stream_sequences(path, is_fastq, chunk_bytes)
+    except Exception:
+        yield parse_sequences(path)
+        return
+    for recs in stream:
+        yield [Sequence(n.decode(), d, q) for n, d, q in recs]
+
+
 def parse_sequences(path: str) -> List[Sequence]:
     if path.endswith(FASTA_EXTENSIONS):
         return parse_fasta(path)

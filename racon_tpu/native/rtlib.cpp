@@ -1205,4 +1205,162 @@ extern "C" void* rt_parse_overlaps(const char* path, int fmt, int* error) {
   return result;
 }
 
+// ------------------------------------------------------------------------ //
+// Streaming (chunked) sequence reader — the reference ingests reads and
+// overlaps in 1 GiB chunks to bound peak memory (src/polisher.cpp:30,
+// 200-265).  A stream handle keeps the gzFile open across calls; each
+// rt_stream_next returns records totalling at most max_bytes of sequence
+// data (at least one record if any remain).
+// ------------------------------------------------------------------------ //
 
+namespace {
+
+struct SeqStream {
+  gzFile f = nullptr;
+  bool is_fastq = false;
+  std::string carry;      // partial line data carried between reads
+  bool eof = false;
+};
+
+// read more data into carry until it holds at least one complete record
+// block or EOF; returns false on read error
+bool stream_fill(SeqStream* s, size_t want) {
+  char buf[1 << 20];
+  while (!s->eof && s->carry.size() < want) {
+    const int n = gzread(s->f, buf, sizeof(buf));
+    if (n < 0) return false;
+    if (n == 0) {
+      s->eof = true;
+      break;
+    }
+    s->carry.append(buf, n);
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" void* rt_open_seq_stream(const char* path, int is_fastq) {
+  gzFile f = gzopen(path, "rb");
+  if (f == nullptr) return nullptr;
+  gzbuffer(f, 1 << 20);
+  auto* s = new SeqStream();
+  s->f = f;
+  s->is_fastq = is_fastq != 0;
+  return s;
+}
+
+extern "C" void rt_close_seq_stream(void* handle) {
+  auto* s = static_cast<SeqStream*>(handle);
+  if (s->f != nullptr) gzclose(s->f);
+  delete s;
+}
+
+// Returns a BatchResult of packed records (same layout as
+// rt_parse_sequences) totalling <= max_bytes of sequence data, or an empty
+// result at end of stream.  error: 0 ok, 1 io, 2 malformed.
+extern "C" void* rt_stream_next(void* handle, int64_t max_bytes,
+                                int* error) {
+  *error = 0;
+  auto* s = static_cast<SeqStream*>(handle);
+  auto* result = new BatchResult();
+  std::string data, qual;
+  int64_t emitted = 0;
+
+  while (emitted < max_bytes) {
+    // ensure a decent buffer to scan records from
+    if (!stream_fill(s, s->carry.size() + (1 << 22))) {
+      *error = 1;
+      delete result;
+      return nullptr;
+    }
+    const char* p = s->carry.data();
+    const char* end = p + s->carry.size();
+    // skip blank lines
+    const char* rec = p;
+    while (rec < end && (*rec == '\n' || *rec == '\r')) ++rec;
+    if (rec >= end) break;   // done
+
+    // find the end of one complete record
+    const char* q = rec;
+    const char* le;
+    if (!s->is_fastq) {
+      if (*q != '>') {
+        *error = 2;
+        delete result;
+        return nullptr;
+      }
+      const char* nxt = static_cast<const char*>(
+          memchr(q + 1, '>', static_cast<size_t>(end - q - 1)));
+      // record complete when the next '>' at line start or EOF is in buffer
+      while (nxt != nullptr && nxt > s->carry.data() && nxt[-1] != '\n') {
+        nxt = static_cast<const char*>(
+            memchr(nxt + 1, '>', static_cast<size_t>(end - nxt - 1)));
+      }
+      if (nxt == nullptr && !s->eof) {
+        if (!stream_fill(s, s->carry.size() * 2 + (1 << 22))) {
+          *error = 1;
+          delete result;
+          return nullptr;
+        }
+        continue;   // rescan with more data
+      }
+      const char* rend = nxt == nullptr ? end : nxt;
+      // parse [rec, rend)
+      q = next_line(rec, rend, &le);
+      const char* name = rec + 1;
+      const size_t name_len = name_token_len(name, le);
+      data.clear();
+      while (q < rend) {
+        const char* lb = q;
+        q = next_line(q, rend, &le);
+        data.append(lb, static_cast<size_t>(le - lb));
+      }
+      qual.clear();
+      append_record(result, name, name_len, data, qual);
+      emitted += static_cast<int64_t>(data.size());
+      s->carry.erase(0, static_cast<size_t>(rend - s->carry.data()));
+    } else {
+      if (*q != '@') {
+        *error = 2;
+        delete result;
+        return nullptr;
+      }
+      // try to parse one full record; if we run out of buffer and not
+      // at EOF, refill and retry
+      const char* cursor = q;
+      cursor = next_line(cursor, end, &le);
+      const char* name = q + 1;
+      const size_t name_len = name_token_len(name, le);
+      data.clear();
+      bool plus = false;
+      while (cursor < end) {
+        const char* lb = cursor;
+        cursor = next_line(cursor, end, &le);
+        if (lb < le && *lb == '+') {
+          plus = true;
+          break;
+        }
+        data.append(lb, static_cast<size_t>(le - lb));
+      }
+      qual.clear();
+      while (plus && qual.size() < data.size() && cursor < end) {
+        const char* lb = cursor;
+        cursor = next_line(cursor, end, &le);
+        qual.append(lb, static_cast<size_t>(le - lb));
+      }
+      if ((!plus || qual.size() < data.size()) && !s->eof) {
+        if (!stream_fill(s, s->carry.size() * 2 + (1 << 22))) {
+          *error = 1;
+          delete result;
+          return nullptr;
+        }
+        continue;   // incomplete record: refill and rescan
+      }
+      append_record(result, name, name_len, data, qual);
+      emitted += static_cast<int64_t>(data.size());
+      s->carry.erase(0, static_cast<size_t>(cursor - s->carry.data()));
+    }
+  }
+  return result;
+}

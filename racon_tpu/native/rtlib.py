@@ -216,6 +216,63 @@ def parse_overlaps_raw(path: str, fmt: str):
     return out
 
 
+_lib.rt_open_seq_stream.restype = ctypes.c_void_p
+_lib.rt_open_seq_stream.argtypes = [ctypes.c_char_p, ctypes.c_int]
+_lib.rt_close_seq_stream.restype = None
+_lib.rt_close_seq_stream.argtypes = [ctypes.c_void_p]
+_lib.rt_stream_next.restype = ctypes.c_void_p
+_lib.rt_stream_next.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                ctypes.POINTER(ctypes.c_int)]
+
+
+def _decode_seq_result(handle):
+    out = []
+    try:
+        for i in range(_lib.rt_result_count(handle)):
+            ln = _lib.rt_result_len(handle, i)
+            buf = ctypes.create_string_buffer(ln)
+            _lib.rt_result_get(handle, i, buf)
+            raw = buf.raw
+            nl = int.from_bytes(raw[:4], "little")
+            name = raw[4:4 + nl]
+            off = 4 + nl
+            dl = int.from_bytes(raw[off:off + 8], "little")
+            data = raw[off + 8:off + 8 + dl]
+            off = off + 8 + dl
+            ql = int.from_bytes(raw[off:off + 8], "little")
+            qual = raw[off + 8:off + 8 + ql]
+            out.append((name, data, qual))
+    finally:
+        _lib.rt_result_free(handle)
+    return out
+
+
+def stream_sequences(path: str, is_fastq: bool,
+                     chunk_bytes: int = 1 << 30):
+    """Yield lists of (name, data, quality) records, each list holding at
+    most chunk_bytes of sequence data — the reference's 1 GiB chunked
+    ingest (src/polisher.cpp:30, 200-265), bounding peak memory."""
+    stream = _lib.rt_open_seq_stream(path.encode(), 1 if is_fastq else 0)
+    if not stream:
+        raise RuntimeError(
+            f"[racon_tpu::rtlib] error: unable to open {path}")
+    try:
+        while True:
+            err = ctypes.c_int(0)
+            handle = _lib.rt_stream_next(stream, chunk_bytes,
+                                         ctypes.byref(err))
+            if not handle:
+                raise RuntimeError(
+                    f"[racon_tpu::rtlib] error: parsing {path} "
+                    f"(code {err.value})")
+            recs = _decode_seq_result(handle)
+            if not recs:
+                return
+            yield recs
+    finally:
+        _lib.rt_close_seq_stream(stream)
+
+
 def consensus_batch(packed: dict, skip: np.ndarray, num_threads: int = 1):
     """Heaviest-bundle consensus for a batch of downloaded device graphs.
 

@@ -117,29 +117,30 @@ class Polisher:
         has_name = [True] * self.targets_size
         self.logger.log("[racon_tpu::Polisher.initialize] loaded target sequences")
 
-        # reads, deduping those that are also targets
-        # (reference: src/polisher.cpp:226-265)
-        reads = parsers.parse_sequences(self.sequences_path)
+        # reads in 1 GiB chunks, deduping those that are also targets
+        # (reference: src/polisher.cpp:226-265, kChunkSize polisher.cpp:30)
         sequences_size = 0
         total_sequences_length = 0
-        for r in reads:
-            total_sequences_length += len(r.data)
-            tkey = r.name + "t"
-            if tkey in name_to_id:
-                tid = name_to_id[tkey]
-                if (len(r.data) != len(self.sequences[tid].data) or
-                        len(r.quality) != len(self.sequences[tid].quality)):
-                    raise RuntimeError(
-                        "[racon_tpu::Polisher.initialize] error: duplicate "
-                        f"sequence {r.name} with unequal data")
-                name_to_id[r.name + "q"] = tid
-                id_to_id[sequences_size << 1 | 0] = tid
-            else:
-                idx = len(self.sequences)
-                name_to_id[r.name + "q"] = idx
-                id_to_id[sequences_size << 1 | 0] = idx
-                self.sequences.append(r)
-            sequences_size += 1
+        for chunk in parsers.iter_sequence_chunks(self.sequences_path):
+            for r in chunk:
+                total_sequences_length += len(r.data)
+                tkey = r.name + "t"
+                if tkey in name_to_id:
+                    tid = name_to_id[tkey]
+                    if (len(r.data) != len(self.sequences[tid].data) or
+                            len(r.quality) !=
+                            len(self.sequences[tid].quality)):
+                        raise RuntimeError(
+                            "[racon_tpu::Polisher.initialize] error: "
+                            f"duplicate sequence {r.name} with unequal data")
+                    name_to_id[r.name + "q"] = tid
+                    id_to_id[sequences_size << 1 | 0] = tid
+                else:
+                    idx = len(self.sequences)
+                    name_to_id[r.name + "q"] = idx
+                    id_to_id[sequences_size << 1 | 0] = idx
+                    self.sequences.append(r)
+                sequences_size += 1
         if sequences_size == 0:
             raise RuntimeError("[racon_tpu::Polisher.initialize] error: "
                                "empty sequences set!")
@@ -295,9 +296,14 @@ class Polisher:
                     cigars[i] = c
             for o, c in zip(need, cigars):
                 o.cigar = c
-        for o in overlaps:
+        bar_i = 0
+        for k, o in enumerate(overlaps):
             o.find_breaking_points(self.sequences, self.window_length,
                                    aligner=aligner)
+            while (k + 1) * 20 > (bar_i + 1) * len(overlaps):
+                bar_i += 1
+                self.logger.bar("[racon_tpu::Polisher.initialize] "
+                                "aligning overlaps")
 
     # ------------------------------------------------------------------ #
     # consensus + stitch
@@ -332,6 +338,16 @@ class Polisher:
         from racon_tpu.obs.profiler import Meter, device_trace
 
         engine = self._make_engine()
+        if hasattr(engine, "progress"):
+            bar_state = [0]
+
+            def on_progress(done, total):
+                while done * 20 > (bar_state[0] + 1) * total:
+                    bar_state[0] += 1
+                    self.logger.bar("[racon_tpu::Polisher.polish] "
+                                    "generating consensus")
+
+            engine.progress = on_progress
         meter = Meter("polish")
         with device_trace():
             results = self._polish_windows_sharded(engine)

@@ -69,6 +69,7 @@ class BatchedPOAEngine:
             devices = jax.local_devices()
         self.devices = list(devices)
         self._next_device = 0
+        self.progress = None   # optional callable(done_windows, total)
         self.stats = {"windows": 0, "device": 0, "fallback": 0, "trivial": 0}
 
     # ------------------------------------------------------------------ #
@@ -149,6 +150,8 @@ class BatchedPOAEngine:
                 self._collect_chunk(c, windows, results, trim, p)
         for c, p in in_flight:
             self._collect_chunk(c, windows, results, trim, p)
+        if self.progress is not None:
+            self.progress(len(windows), len(windows))
 
         # host fallback for oversize windows and device-flagged failures
         # (native C++ oracle; reference: src/cuda/cudapolisher.cpp:354-378)
@@ -290,6 +293,10 @@ class BatchedPOAEngine:
         except Exception:  # pragma: no cover - no compiler available
             pass
 
+        if self.progress is not None:
+            done = self.stats["device"] + self.stats["trivial"] + len(chunk)
+            self.progress(min(done, self.stats["windows"]),
+                          self.stats["windows"])
         for b, i in enumerate(chunk):
             if failed[b]:
                 continue  # -> oracle fallback

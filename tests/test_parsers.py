@@ -126,3 +126,22 @@ def test_native_overlap_parsers_match_python():
                 av = getattr(a, attr, None)
                 bv = getattr(b, attr, None)
                 assert av == bv, (path, attr, av, bv)
+
+
+def test_chunked_ingest_matches_whole_file():
+    """1 GiB-chunk ingest semantics (tiny chunks here): record stream must
+    equal the whole-file parse (reference: src/polisher.cpp:30, 200-265)."""
+    import racon_tpu.io.parsers as P
+
+    path = "/root/reference/test/data/sample_reads.fastq.gz"
+    whole = P.parse_sequences(path)
+    chunked = []
+    n_chunks = 0
+    for chunk in P.iter_sequence_chunks(path, chunk_bytes=100_000):
+        n_chunks += 1
+        chunked.extend(chunk)
+    assert n_chunks > 5   # actually exercised chunking
+    assert len(whole) == len(chunked)
+    for a, b in zip(whole, chunked):
+        assert a.name == b.name and a.data == b.data \
+            and a.quality == b.quality
