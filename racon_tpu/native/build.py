@@ -16,17 +16,24 @@ LIB_PATH = os.path.join(_DIR, "librtlib.so")
 
 
 def build(force: bool = False) -> str:
-    if not force and os.path.exists(LIB_PATH):
+    """Build the runtime.  Set RACON_TPU_NATIVE_DEBUG=1 for an
+    AddressSanitizer debug build (the reference's `make debug` ->
+    -Db_sanitize=address, Makefile:26-28)."""
+    debug = os.environ.get("RACON_TPU_NATIVE_DEBUG") == "1"
+    lib_path = LIB_PATH if not debug else LIB_PATH + ".asan.so"
+    if not force and os.path.exists(lib_path):
         src_mtime = max(os.path.getmtime(s) for s in SOURCES)
-        if os.path.getmtime(LIB_PATH) >= src_mtime:
-            return LIB_PATH
+        if os.path.getmtime(lib_path) >= src_mtime:
+            return lib_path
+    flags = (["-O1", "-g", "-fsanitize=address"] if debug
+             else ["-O3", "-march=native"])
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", "-o", LIB_PATH, *SOURCES, "-lz",
+        "g++", *flags, "-std=c++17", "-shared", "-fPIC",
+        "-pthread", "-o", lib_path, *SOURCES, "-lz",
     ]
     print(f"[racon_tpu::native] building: {' '.join(cmd)}", file=sys.stderr)
     subprocess.run(cmd, check=True)
-    return LIB_PATH
+    return lib_path
 
 
 if __name__ == "__main__":

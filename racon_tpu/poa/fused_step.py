@@ -874,6 +874,8 @@ def fused_layer_step_at(fs: FusedState, metas, seqs, wtss, d, p_cap: int,
                             t_cap=t_cap, interpret=interpret)
 
 
+
+
 @functools.partial(jax.jit, static_argnames=("n_cap", "p_cap"))
 def init_fused(backbone: jnp.ndarray, backbone_w: jnp.ndarray,
                backbone_len: jnp.ndarray, n_cap: int,
