@@ -22,7 +22,9 @@ import time
 
 # Single-core CPU throughput of the native C++ oracle (spoa-class POA
 # implementation with identical semantics) measured on this host for the
-# same workload; recorded in BASELINE.md.
+# same workload; recorded in BASELINE.md.  The TPU engine uses 4 host
+# threads for the (overlapped) download+consensus collect phase, like the
+# reference's threaded GPU runs.
 CPU_BASELINE_WINDOWS_PER_SEC = 38.2
 
 DATA = os.environ.get("RACON_TPU_BENCH_DATA", "/root/reference/test/data")
@@ -37,7 +39,7 @@ def main() -> int:
         f"{DATA}/sample_overlaps.paf.gz",
         f"{DATA}/sample_layout.fasta.gz",
         PolisherType.kC, 500, 10.0, 0.3, True, 5, -4, -8,
-        num_threads=int(os.environ.get("RACON_TPU_BENCH_THREADS", "1")),
+        num_threads=int(os.environ.get("RACON_TPU_BENCH_THREADS", "4")),
         engine=engine)
     p.initialize()
     n_windows = len(p.windows)
