@@ -330,12 +330,16 @@ class PallasAligner:
     whose band was too narrow."""
 
     def __init__(self, num_threads: int = 4, interpret: bool = None,
-                 batch_size: int = 8):
+                 batch_size: int = 8, devices=None):
         self.num_threads = num_threads
         self.batch_size = batch_size
         if interpret is None:
             interpret = INTERPRET
         self.interpret = interpret
+        if devices is None:
+            devices = jax.local_devices()
+        self.devices = list(devices)
+        self._next_device = 0
         self.stats = {"device": 0, "fallback": 0}
 
     def align_batch(self, pairs):
@@ -359,15 +363,20 @@ class PallasAligner:
         meta_r, q_r, t_r, qv_r = _pack_inputs(
             [(q[::-1], t[::-1]) for q, t in pairs], backward=True)
 
+        # batches round-robin over the local chips (as the POA engine does)
+        dev = self.devices[self._next_device % len(self.devices)]
+        self._next_device += 1
+        put = lambda x: jax.device_put(jnp.asarray(x), dev)
+
         ed_f, caps_f, base_f = wavefront_pass(
-            jnp.asarray(meta), jnp.asarray(q_sm), jnp.asarray(t_sm),
-            jnp.asarray(qv), interpret=self.interpret)
+            put(meta), put(q_sm), put(t_sm), put(qv),
+            interpret=self.interpret)
         ed_b, caps_b, base_b = wavefront_pass(
-            jnp.asarray(meta_r), jnp.asarray(q_r), jnp.asarray(t_r),
-            jnp.asarray(qv_r), interpret=self.interpret)
+            put(meta_r), put(q_r), put(t_r), put(qv_r),
+            interpret=self.interpret)
 
         cross_i, a_used, ok = _crossings(ed_f, caps_f, base_f, caps_b,
-                                         base_b, jnp.asarray(meta),
+                                         base_b, put(meta),
                                          S=S_CAP, NC=NC_CAP)
         cross_i = np.asarray(cross_i)
         a_used = np.asarray(a_used)

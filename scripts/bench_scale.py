@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Scale benchmark: synthetic genome -> noisy long reads -> polish.
+
+Measures end-to-end and consensus-phase throughput at genome scales beyond
+the bundled lambda set (SURVEY.md §6: throughput baselines must be measured
+on E. coli-scale data).  Reads are sampled uniformly with configurable
+coverage and error; overlaps are emitted as exact-position PAF (no CIGARs,
+so the alignment phase is exercised too).
+
+Usage:
+  python scripts/bench_scale.py [--genome-mb 0.5] [--coverage 30]
+                                [--error 0.1] [--engine tpu] [--threads 4]
+                                [--tpu-align]
+"""
+
+import argparse
+import gzip
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def synthesize(tmpdir: str, genome_bp: int, coverage: int, error: float,
+               read_len: int, seed: int = 0):
+    rng = np.random.RandomState(seed)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    genome = bases[rng.randint(0, 4, genome_bp)]
+
+    # backbone "assembly" = genome with light noise (1% substitutions)
+    backbone = genome.copy()
+    nsub = genome_bp // 100
+    pos = rng.choice(genome_bp, nsub, replace=False)
+    backbone[pos] = bases[rng.randint(0, 4, nsub)]
+
+    tpath = os.path.join(tmpdir, "target.fasta")
+    with open(tpath, "w") as f:
+        f.write(">ctg\n")
+        f.write(backbone.tobytes().decode())
+        f.write("\n")
+
+    n_reads = genome_bp * coverage // read_len
+    rpath = os.path.join(tmpdir, "reads.fasta")
+    opath = os.path.join(tmpdir, "overlaps.paf")
+    with open(rpath, "w") as fr, open(opath, "w") as fo:
+        for i in range(n_reads):
+            start = rng.randint(0, genome_bp - read_len)
+            seg = genome[start:start + read_len]
+            # substitutions + indels at the requested error rate
+            r = rng.rand(read_len)
+            keep = r >= error / 3                       # deletions
+            sub = (r >= error / 3) & (r < 2 * error / 3)
+            seg = seg.copy()
+            seg[sub] = bases[rng.randint(0, 4, int(sub.sum()))]
+            seg = seg[keep]
+            ins_mask = rng.rand(len(seg)) < error / 3   # insertions
+            if ins_mask.any():
+                out = np.empty(len(seg) + int(ins_mask.sum()), np.uint8)
+                j = 0
+                ins_at = np.flatnonzero(ins_mask)
+                prev = 0
+                for k in ins_at:
+                    out[j:j + k - prev] = seg[prev:k]
+                    j += k - prev
+                    out[j] = bases[rng.randint(0, 4)]
+                    j += 1
+                    prev = k
+                out[j:] = seg[prev:]
+                seg = out
+            fr.write(f">r{i}\n{seg.tobytes().decode()}\n")
+            fo.write(f"r{i}\t{len(seg)}\t0\t{len(seg)}\t+\tctg\t{genome_bp}"
+                     f"\t{start}\t{start + read_len}\t{read_len}\t{read_len}"
+                     f"\t60\n")
+    return rpath, opath, tpath, genome
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-mb", type=float, default=0.5)
+    ap.add_argument("--coverage", type=int, default=30)
+    ap.add_argument("--error", type=float, default=0.10)
+    ap.add_argument("--read-len", type=int, default=10000)
+    ap.add_argument("--engine", default="tpu")
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--tpu-align", action="store_true")
+    args = ap.parse_args()
+
+    genome_bp = int(args.genome_mb * 1e6)
+    with tempfile.TemporaryDirectory() as tmpdir:
+        t0 = time.time()
+        rpath, opath, tpath, genome = synthesize(
+            tmpdir, genome_bp, args.coverage, args.error, args.read_len)
+        print(f"[scale] synthesized {genome_bp/1e6:.2f} Mb genome, "
+              f"{args.coverage}x reads in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+        from racon_tpu.pipeline import PolisherType, create_polisher
+        from racon_tpu.native import rtlib
+
+        t0 = time.time()
+        p = create_polisher(rpath, opath, tpath, PolisherType.kC,
+                            500, 10.0, 0.3, True, 3, -5, -4,
+                            num_threads=args.threads, engine=args.engine,
+                            tpu_align=args.tpu_align)
+        p.initialize()
+        t_init = time.time() - t0
+        n_windows = len(p.windows)
+
+        t0 = time.time()
+        res = p.polish()
+        t_polish = time.time() - t0
+
+        polished = res[0].data
+        ed = rtlib.edit_distance(polished, genome.tobytes())
+        print(f"[scale] genome={genome_bp/1e6:.2f}Mb cov={args.coverage} "
+              f"err={args.error} engine={args.engine} "
+              f"tpu_align={args.tpu_align}", file=sys.stderr)
+        print(f"[scale] initialize {t_init:.1f}s, polish {t_polish:.1f}s "
+              f"({n_windows} windows, {n_windows/t_polish:.1f} w/s), "
+              f"ED vs truth {ed} ({ed/genome_bp*100:.3f}%)", file=sys.stderr)
+        import json
+        print(json.dumps({
+            "metric": "scale_polish_windows_per_sec",
+            "value": round(n_windows / t_polish, 3),
+            "unit": "windows/s",
+            "genome_mb": args.genome_mb,
+            "ed_pct": round(ed / genome_bp * 100, 4)}))
+
+
+if __name__ == "__main__":
+    main()

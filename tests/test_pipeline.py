@@ -193,3 +193,41 @@ def test_quality_threshold_filters_layers(tmp_path):
     p.initialize()
     # only the 4 high-quality layers pass the q>=10 mean-quality filter
     assert p.windows[0].n_layers - 1 == 4
+
+
+class TestCreatePolisherValidation:
+    """Error-path tests mirroring the reference EXPECT_DEATH suite
+    (test/racon_test.cpp:53-84)."""
+
+    def test_invalid_type(self):
+        from racon_tpu.pipeline import create_polisher
+        with pytest.raises(RuntimeError, match="invalid polisher type"):
+            create_polisher("a.fasta", "b.paf", "c.fasta", type=3)
+
+    def test_invalid_window(self):
+        from racon_tpu.pipeline import PolisherType, create_polisher
+        with pytest.raises(RuntimeError, match="invalid window length"):
+            create_polisher("a.fasta", "b.paf", "c.fasta",
+                            PolisherType.kC, window_length=0)
+
+    @pytest.mark.parametrize("seqs,ovl,tgt", [
+        ("a.txt", "b.paf", "c.fasta"),
+        ("a.fasta", "b.txt", "c.fasta"),
+        ("a.fasta", "b.paf", "c.txt"),
+    ])
+    def test_invalid_extension(self, seqs, ovl, tgt):
+        from racon_tpu.pipeline import PolisherType, create_polisher
+        with pytest.raises(RuntimeError, match="unsupported format"):
+            create_polisher(seqs, ovl, tgt, PolisherType.kC)
+
+    def test_empty_target_set(self, tmp_path):
+        from racon_tpu.pipeline import PolisherType, create_polisher
+        t = tmp_path / "t.fasta"
+        t.write_text("")
+        r = tmp_path / "r.fasta"
+        r.write_text(">1\nACGT\n")
+        o = tmp_path / "o.paf"
+        o.write_text("")
+        p = create_polisher(str(r), str(o), str(t), PolisherType.kC)
+        with pytest.raises(RuntimeError, match="empty target"):
+            p.initialize()
