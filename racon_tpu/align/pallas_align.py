@@ -429,7 +429,17 @@ class PallasAligner:
             nseg = plans[b]
             segs = cigars[pos:pos + nseg]
             pos += nseg
-            out[idxs[b]] = _merge_cigars(segs)
+            merged = _merge_cigars(segs)
+            # soundness check: when the band clips fwd and bwd identically,
+            # ed_f == ed_b can hold with a wrong distance; a segmented CIGAR
+            # whose total unit cost differs from the device edit distance is
+            # suboptimal -> leave None for the exact host aligner
+            q, t = pairs[b]
+            if _cigar_unit_cost(merged, q, t) != int(ed_f[b]):
+                self.stats["cost_mismatch"] = \
+                    self.stats.get("cost_mismatch", 0) + 1
+                continue
+            out[idxs[b]] = merged
             self.stats["device"] += 1
 
 
@@ -448,3 +458,35 @@ def _merge_cigars(segs):
                     ops.append((num, ch))
                 num = 0
     return "".join(f"{n}{c}" for n, c in ops).encode()
+
+
+def _cigar_unit_cost(cigar: bytes, q: bytes, t: bytes) -> int:
+    """Unit edit cost of a CIGAR over (q, t): #I + #D + mismatches inside
+    'M' runs ('M' covers match and substitution, the edlib convention)."""
+    import numpy as np
+    qa = np.frombuffer(q, np.uint8)
+    ta = np.frombuffer(t, np.uint8)
+    cost = 0
+    num = 0
+    i = j = 0
+    for ch in cigar.decode():
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+            continue
+        if ch == "M":
+            cost += int((qa[i:i + num] != ta[j:j + num]).sum())
+            i += num
+            j += num
+        elif ch in "I=X":
+            if ch == "X":
+                cost += num
+            elif ch == "I":
+                cost += num
+            i += num
+            if ch in "=X":
+                j += num
+        elif ch == "D":
+            cost += num
+            j += num
+        num = 0
+    return cost

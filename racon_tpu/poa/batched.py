@@ -110,7 +110,11 @@ class BatchedPOAEngine:
                             for i in eligible)
         else:
             max_backbone, max_layer = 16, 16
-        L = _round_up(max(max_layer, 16), 128)
+        # L is capped at l_cap (= LP-1 on the kernel paths) so a window
+        # admitted as eligible always fits the packed DP row; mode is a
+        # local decision per call — never mutate self.mode, or one exotic
+        # batch would demote every later polish_windows call
+        L = min(_round_up(max(max_layer, 16), 128), l_cap)
         L0 = max_backbone
         N = _round_up(max(int(self.node_factor * max_backbone),
                           max_backbone + 256), 256)
@@ -118,11 +122,17 @@ class BatchedPOAEngine:
 
         # the fused kernel packs (score, move, pred-rank) into one int32;
         # shapes or exotic scores that break the packing use the XLA path
-        if self.mode == "fused":
+        mode = self.mode
+        if mode == "fused":
             from racon_tpu.poa.fused_step import check_capacity
             N = min(N, 2046)
             if not check_capacity(N, self.match, self.mismatch, self.gap, L):
-                self.mode = "xla"
+                mode = "xla"
+                print("[racon_tpu::BatchedPOAEngine] capacity check failed "
+                      f"(N={N} L={L} scores=({self.match},{self.mismatch},"
+                      f"{self.gap})); batch degrades to the XLA engine",
+                      file=sys.stderr)
+                self.stats["degraded"] = self.stats.get("degraded", 0) + 1
 
         # depth-homogeneous chunks: the compiled program shape is
         # (B, L, N) — independent of depth (layers are sliced dynamically
@@ -143,7 +153,7 @@ class BatchedPOAEngine:
             depth = max(len(windows[i].sequences) - 1 for i in chunk)
             packed = self._launch_chunk(chunk, windows,
                                         B=len(chunk), D=depth, L=L,
-                                        L0=L0, N=N, t_cap=t_cap)
+                                        L0=L0, N=N, t_cap=t_cap, mode=mode)
             in_flight.append((chunk, packed))
             if len(in_flight) > MAX_IN_FLIGHT:
                 c, p = in_flight.pop(0)
@@ -177,12 +187,12 @@ class BatchedPOAEngine:
                    trim: bool, B: int, D: int, L: int, L0: int, N: int,
                    t_cap: int) -> None:
         packed = self._launch_chunk(chunk, windows, B=B, D=D, L=L, L0=L0,
-                                    N=N, t_cap=t_cap)
+                                    N=N, t_cap=t_cap, mode=self.mode)
         self._collect_chunk(chunk, windows, results, trim, packed)
 
     def _launch_chunk(self, chunk: List[int], windows: List[Window],
                       B: int, D: int, L: int, L0: int, N: int,
-                      t_cap: int):
+                      t_cap: int, mode: Optional[str] = None):
         """Build + dispatch the device program for one chunk; returns the
         (still device-resident) download dict.  Each chunk is placed whole
         on one local device, round-robin — computation follows placement,
@@ -192,6 +202,8 @@ class BatchedPOAEngine:
         from racon_tpu.poa import engine as E
         from racon_tpu.poa.graph import weights_from_quality
 
+        if mode is None:
+            mode = self.mode
         device = self.devices[self._next_device % len(self.devices)]
         self._next_device += 1
         put = lambda x: jax.device_put(jnp.asarray(x), device)
@@ -235,7 +247,7 @@ class BatchedPOAEngine:
         # upload all layers once; slice per layer on device (the host<->device
         # link is latency/bandwidth-limited); one jitted program per
         # (B, L, N) regardless of depth
-        if self.mode == "fused":
+        if mode == "fused":
             from racon_tpu.poa import fused_step as F
             fs = F.init_fused(put(backbone), put(backbone_w),
                               put(backbone_len), N, self.p_cap)

@@ -24,6 +24,22 @@ def eprint(*args, **kwargs):
     print(*args, file=sys.stderr, flush=True, **kwargs)
 
 
+def _manifest(args) -> str:
+    """Checkpoint identity: CLI parameters + input file sizes/mtimes."""
+    import hashlib
+    h = hashlib.sha256()
+    cfg = (args.split, tuple(args.subsample) if args.subsample else None,
+           args.include_unpolished, args.fragment_correction,
+           args.window_length, args.quality_threshold, args.error_threshold,
+           args.match, args.mismatch, args.gap)
+    h.update(repr(cfg).encode())
+    for path in (args.sequences, args.overlaps, args.target_sequences):
+        st = os.stat(path)
+        h.update(f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}"
+                 .encode())
+    return h.hexdigest()
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="racon_tpu_wrapper",
@@ -81,6 +97,26 @@ def main(argv=None) -> int:
 
         if args.checkpoint:
             os.makedirs(args.checkpoint, exist_ok=True)
+            # a checkpoint is only valid for the exact configuration and
+            # inputs that produced it: stamp a manifest and invalidate all
+            # parts when it does not match (resuming a run with different
+            # parameters must not emit stale output)
+            manifest = _manifest(args)
+            mpath = os.path.join(args.checkpoint, "MANIFEST")
+            old = None
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    old = fh.read()
+            if old != manifest:
+                if old is not None:
+                    eprint("[racon_tpu_wrapper] checkpoint manifest mismatch "
+                           "(parameters or inputs changed); invalidating "
+                           "existing parts")
+                for name in os.listdir(args.checkpoint):
+                    if name.startswith("part_"):
+                        os.remove(os.path.join(args.checkpoint, name))
+                with open(mpath, "w") as fh:
+                    fh.write(manifest)
 
         from racon_tpu.pipeline import PolisherType, create_polisher
         for idx, part in enumerate(targets):

@@ -143,7 +143,8 @@ def test_wrapper_checkpoint_resume(tmp_path, capsys, monkeypatch):
     first = capsys.readouterr().out
     assert first.count(">") >= 2
     import os
-    parts = sorted(os.listdir(ckpt))
+    assert "MANIFEST" in os.listdir(ckpt)
+    parts = sorted(p for p in os.listdir(ckpt) if p.startswith("part_"))
     assert len(parts) >= 2 and all(p.endswith(".fasta") for p in parts)
 
     # resume: polishing must not run again
@@ -155,3 +156,41 @@ def test_wrapper_checkpoint_resume(tmp_path, capsys, monkeypatch):
     assert wrapper.main(list(args)) == 0
     second = capsys.readouterr().out
     assert second == first
+
+
+def test_wrapper_checkpoint_invalidation(tmp_path, capsys):
+    """Changing parameters invalidates existing checkpoint parts
+    (stale output from a different configuration must never be reused)."""
+    import os
+    from racon_tpu.tools import wrapper
+
+    tpath = str(tmp_path / "t.fasta")
+    rpath = str(tmp_path / "r.fasta")
+    opath = str(tmp_path / "o.paf")
+    seq = "ACGTACGTACGTACGTACGTACGTACGTACGT" * 5
+    with open(tpath, "w") as f:
+        f.write(f">ctg0\n{seq}\n")
+    with open(rpath, "w") as f:
+        for k in range(3):
+            f.write(f">r{k}\n{seq}\n")
+    with open(opath, "w") as f:
+        for k in range(3):
+            f.write(f"r{k}\t{len(seq)}\t0\t{len(seq)}\t+\tctg0\t{len(seq)}"
+                    f"\t0\t{len(seq)}\t{len(seq)}\t{len(seq)}\t60\n")
+
+    ckpt = str(tmp_path / "ckpt")
+    base = [rpath, opath, tpath, "--engine", "oracle", "--checkpoint", ckpt]
+    assert wrapper.main(base + ["-w", "100"]) == 0
+    capsys.readouterr()
+    with open(os.path.join(ckpt, "MANIFEST")) as f:
+        m1 = f.read()
+    part = os.path.join(ckpt, "part_00000.fasta")
+    mtime1 = os.path.getmtime(part)
+
+    # different window length -> manifest mismatch -> parts rebuilt
+    assert wrapper.main(base + ["-w", "50"]) == 0
+    capsys.readouterr()
+    with open(os.path.join(ckpt, "MANIFEST")) as f:
+        m2 = f.read()
+    assert m1 != m2
+    assert os.path.getmtime(part) >= mtime1
