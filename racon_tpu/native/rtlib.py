@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -15,7 +16,7 @@ _lib.rt_align_batch.restype = ctypes.c_void_p
 _lib.rt_align_batch.argtypes = [
     ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
     ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
-    ctypes.c_int64, ctypes.c_int,
+    ctypes.c_int64, ctypes.c_int, ctypes.c_int,
 ]
 _lib.rt_result_len.restype = ctypes.c_int64
 _lib.rt_result_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -316,10 +317,23 @@ def consensus_batch(packed: dict, skip: np.ndarray, num_threads: int = 1):
 
 
 class NativeAligner:
-    """Batched unit-cost global aligner (CIGAR producer)."""
+    """Batched unit-cost global aligner (CIGAR producer).
 
-    def __init__(self, num_threads: int = 1):
+    algo: -1 = exact O(ND) wavefront; 0..5 = banded Myers bit-vector with
+    traceback preference permutation (edlib-class; reference role:
+    src/overlap.cpp:205-224).  Default order 2 (up, diag, left) measured
+    best against the reference's golden edit distances (lambda fastq+PAF
+    ED 1329 vs golden 1312; every order and the O(ND) aligner land within
+    1329-1339 — the residual delta is POA tie semantics, not the aligner)
+    and cuts the lambda align phase ~3.5x vs the O(ND) path.  Override
+    with RACON_TPU_ALIGN_ALGO for experiments.
+    """
+
+    def __init__(self, num_threads: int = 1, algo: int = None):
         self.num_threads = max(1, num_threads)
+        if algo is None:
+            algo = int(os.environ.get("RACON_TPU_ALIGN_ALGO", "2"))
+        self.algo = algo
 
     def __call__(self, q: bytes, t: bytes) -> bytes:
         return self.align_batch([(q, t)])[0]
@@ -332,7 +346,7 @@ class NativeAligner:
         handle = _lib.rt_align_batch(
             qbuf, qoff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             tbuf, toff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(pairs), self.num_threads)
+            len(pairs), self.num_threads, self.algo)
         out: List[bytes] = []
         try:
             for i in range(len(pairs)):

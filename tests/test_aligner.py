@@ -65,7 +65,31 @@ def test_native_matches_python():
         t = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 600)))
         q = mutate(t, 0.25, rng)
         pairs.append((q.encode(), t.encode()))
-    cigs = rtlib.NativeAligner(2).align_batch(pairs)
+    # the O(ND) path is an exact CIGAR-for-CIGAR mirror of the Python one
+    cigs = rtlib.NativeAligner(2, algo=-1).align_batch(pairs)
     for (q, t), c in zip(pairs, cigs):
         assert c == align_ond_py(q, t)
         assert rtlib.edit_distance(q, t) == py_ed(q, t)
+    # the banded Myers default produces a different optimal alignment:
+    # same unit cost, full consumption of both sequences
+    cigs = rtlib.NativeAligner(2).align_batch(pairs)
+    for (q, t), c in zip(pairs, cigs):
+        qi = ti = cost = 0
+        num = 0
+        for ch in c.decode():
+            if ch.isdigit():
+                num = num * 10 + ord(ch) - 48
+                continue
+            if ch == "M":
+                cost += sum(1 for k in range(num) if q[qi + k] != t[ti + k])
+                qi += num
+                ti += num
+            elif ch == "I":
+                cost += num
+                qi += num
+            elif ch == "D":
+                cost += num
+                ti += num
+            num = 0
+        assert (qi, ti) == (len(q), len(t))
+        assert cost == rtlib.edit_distance(q, t)
