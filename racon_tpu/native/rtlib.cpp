@@ -749,7 +749,8 @@ struct PoaGraph {
           run_m = 0;
         }
         const int64_t key =
-            run_lo + (run_hi - run_lo) * (run_m + 1) / (run_k + 1);
+            (run_lo + (run_hi - run_lo) * (run_m + 1) / (run_k + 1))
+            | 1;  // odd: never collides with (even) column keys
         ++run_m;
         resolved[i] = add_node(letter, key);
       }

@@ -409,7 +409,8 @@ def _update_graph(state: GraphState, layer: LayerBatch, path_node, path_pos,
     span = hi - lo
     q_div = span // kp1
     rem = span - q_div * kp1
-    interp = lo + q_div * (m_pos + 1) + (rem * (m_pos + 1)) // kp1
+    # forced ODD so run keys never collide with (even) column keys
+    interp = (lo + q_div * (m_pos + 1) + (rem * (m_pos + 1)) // kp1) | 1
 
     created_unmatched = create & ~matched
     created_matched = create & matched

@@ -1,0 +1,815 @@
+"""Resident multi-layer Pallas TPU kernel: a whole window-chunk POA build
+in ONE kernel launch.
+
+This is the second-generation fused engine (successor of the per-layer
+kernel in racon_tpu/poa/fused_step.py).  The grid is (B, D) with the window
+index MAJOR and the layer index MINOR, and every piece of per-window graph
+state (the packed scalar table, the predecessor-overflow rows) uses a block
+index that depends only on the window — so Pallas keeps the state RESIDENT
+on-chip across all D layer steps of a window and flushes it to HBM exactly
+once, when the grid moves to the next window.  Compared to one kernel
+launch per layer this removes, per layer step:
+
+  * the per-call dispatch/donation overhead (measured ~2-4 ms through the
+    axon device tunnel),
+  * the full HBM round trip of the graph state (the old phase-0 bulk
+    copies), and
+  * the old-node state copies inside the merge re-rank (state is now
+    updated IN PLACE; only the rank-indexed order/col arrays need a
+    scratch double-buffer, merged into scratch and copied back).
+
+The graph is initialized from the backbone chain INSIDE the kernel at the
+first layer step (d == 0), so there is no separate init program and no
+initial-state upload: the only HBM traffic per layer is the layer's own
+sequence tiles (~12 KB).
+
+Semantics are bit-identical to engine.add_layer — the same packed DP cells
+(score << 16 | inverted-move-code << 11 | pred-rank), the same
+diag>vert>horiz / lowest-pred-slot tie rules, the same earliest-rank sink,
+the same insertion-key interpolation and stable merge re-rank — asserted
+against the XLA engine by tests/test_fused_chunk.py in interpret mode.
+
+The sequence-axis row width is parametric (``sub_l`` sublanes of 128 lanes,
+LP = 128*sub_l positions, max 1024): buckets with short layers use narrower
+rows, shrinking both the DP work and the on-chip H matrix.
+
+Capacity limits (checked by the caller, host fallback otherwise):
+L+1 <= 128*sub_l <= 1024 (reference GPU has the same 1023 cap,
+src/cuda/cudabatch.cpp BatchConfig), N <= 2046 (11-bit rank payload),
+|score| < 30000 (16-bit score field).
+
+Reference parity: TPU-native replacement of cudapoa's batched POA
+(reference: src/cuda/cudabatch.cpp, src/cuda/cudapolisher.cpp:226-345);
+windows flagged as failed fall back to the host oracle exactly like the
+reference GPU->CPU path (src/cuda/cudapolisher.cpp:354-378).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from racon_tpu.poa.engine import ALPHABET, KEY_SCALE, PAD_CODE
+
+NEG = -30000              # score -inf sentinel (16-bit score field)
+SCORE_LIMIT = 30000       # |score| bound for the 16-bit field
+RANK_BITS = 11            # pred-rank payload -> N <= 2046
+RANK_MASK = (1 << RANK_BITS) - 1
+INT_MIN = -(2 ** 31) + 1
+INT_MAX = (2 ** 31) - 1
+BIG_RANK = 2 ** 30        # rank sentinel, matches engine
+LANE = 128
+NR_LANE = 32              # per-node overflow-row width (>= 2*P)
+MAX_SUB = 8               # packed row capacity cap: L+1 <= 1024
+
+# state-table row indices (the packed per-window scalar state, one SMEM
+# block of shape (S, N+1) per window)
+R_ORDER = 0     # rank -> node
+R_RANK = 1      # node -> rank
+R_COL = 2       # rank -> dense column index
+R_CODES = 3     # node -> base code
+R_CNT = 4       # node -> predecessor count
+R_COV = 5       # node -> coverage
+R_REP = 6       # node -> column representative
+R_P0 = 7        # node -> pred slot 0 (N = empty)
+R_P1 = 8        # node -> pred slot 1
+R_PW0 = 9       # node -> pred slot 0 weight
+R_PW1 = 10      # node -> pred slot 1 weight
+R_MISC = 11     # [0] = n_nodes, [1] = failed
+R_LETN = 12     # + letter: column-member node per letter (-1), rep-indexed
+S_ROWS = R_LETN + ALPHABET
+
+# Set True (tests on the CPU backend) to run the kernel interpreted.
+INTERPRET = False
+
+
+def _lane_layout(P: int):
+    """Lane indices inside the per-node VMEM overflow row: pred ids at
+    [0,P) and pred weights at [P,2P) (slots 0 and 1 unused — their truth
+    lives in the packed scalar table)."""
+    assert 2 * P < NR_LANE
+    return 0, P
+
+
+def _iota2(sub: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 0)
+    return sl * LANE + lane
+
+
+def _shift_j(x, fill, sub: int):
+    """x'[j] = x[j-1] in the packed (sub,128) layout; x'[0] = fill."""
+    a = pltpu.roll(x, 1, axis=1)
+    b = pltpu.roll(a, 1, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 0)
+    out = jnp.where(lane == 0, b, a)
+    return jnp.where((lane == 0) & (sl == 0), fill, out)
+
+
+def _cummax_j(x, sub: int):
+    """Prefix max along the packed j axis."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 0)
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        sh = pltpu.roll(x, k, axis=1)
+        x = jnp.where(lane >= k, jnp.maximum(x, sh), x)
+    if sub == 1:
+        return x
+    inc = jnp.broadcast_to(jnp.max(x, axis=1, keepdims=True), (sub, LANE))
+    for k in (1, 2, 4):
+        if k >= sub:
+            break
+        sh = pltpu.roll(inc, k, axis=0)
+        inc = jnp.maximum(inc, jnp.where(sl >= k, sh, NEG))
+    exc = jnp.where(sl >= 1, pltpu.roll(inc, 1, axis=0), NEG)
+    return jnp.maximum(x, exc)
+
+
+def _extract_lane(row, idx, width: int):
+    """Scalar value of a (1, width) row at lane idx."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    return jnp.max(jnp.where(lane == idx, row, INT_MIN))
+
+
+def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
+                      mismatch: int, gap: int, stop_phase: int = 9):
+    """Kernel body: grid (B, D); one call builds every window's POA graph.
+
+    Move codes: diag via pred slot p -> p; diag via virtual source -> P;
+    vert via slot p -> P+1+p; vert virtual -> 2P+1; horiz -> 2P+2.
+
+    stop_phase truncates each layer step after phase k (profiling only):
+    0=init, 1=DP, 2=sink, 3=traceback, 4=update, 5=merge, 6=apply (full).
+    """
+    assert N <= RANK_MASK - 1, f"N={N} exceeds rank payload capacity"
+    assert 1 <= sub_l <= MAX_SUB
+    LP = sub_l * LANE
+    LN_PRED, LN_PREDW = _lane_layout(P)
+    HORIZ = 2 * P + 2
+    HZ_PAYLOAD = ((31 - HORIZ) << RANK_BITS) | RANK_MASK
+    SUB = sub_l
+
+    def kernel(bb_ref, bbw_ref, bbl_ref, meta_ref, seq_ref, seq_s, wts_s,
+               st, noderow,
+               H, hs, pnode, ppos, ins_node, ins_key,
+               d_node, d_tail, d_w, d_slot, d_flag, tmp_ord, tmp_col):
+        d_id = pl.program_id(1)
+        m_i = jnp.int32(match)
+        x_i = jnp.int32(mismatch)
+        g_i = jnp.int32(gap)
+
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, NR_LANE), 1)
+        empty_row = jnp.where((lane1 >= LN_PRED) & (lane1 < LN_PRED + P),
+                              N, 0)
+
+        # ---- window init (first layer step only) ------------------------ #
+        # Build the backbone chain directly into the resident state (the
+        # buffers are reused across windows, so every entry a later read
+        # can touch is re-established here: the chain, the index-N
+        # sentinels, and the misc row).
+        @pl.when(d_id == 0)
+        def _():
+            blen = bbl_ref[0, 0, 0]
+
+            def init_body(v, _):
+                first = v == 0
+                st[0, R_ORDER, v] = v
+                st[0, R_RANK, v] = v
+                st[0, R_COL, v] = v
+                c = bb_ref[0, 0, v]
+                st[0, R_CODES, v] = c
+                st[0, R_CNT, v] = jnp.where(first, 0, 1)
+                st[0, R_COV, v] = jnp.int32(1)
+                st[0, R_REP, v] = v
+                st[0, R_P0, v] = jnp.where(first, N, v - 1)
+                st[0, R_P1, v] = jnp.int32(N)
+                wv = bbw_ref[0, 0, v]
+                wp = bbw_ref[0, 0, jnp.maximum(v - 1, 0)]
+                st[0, R_PW0, v] = jnp.where(first, 0, wv + wp)
+                st[0, R_PW1, v] = jnp.int32(0)
+                lc = jnp.clip(c, 0, ALPHABET - 1)
+                for l in range(ALPHABET):
+                    st[0, R_LETN + l, v] = jnp.where(lc == l, v, -1)
+                return 0
+
+            jax.lax.fori_loop(0, blen, init_body, 0)
+            st[0, R_ORDER, N] = jnp.int32(N)
+            st[0, R_RANK, N] = jnp.int32(BIG_RANK)
+            st[0, R_COL, N] = jnp.int32(0)
+            st[0, R_CODES, N] = jnp.int32(PAD_CODE)
+            st[0, R_CNT, N] = jnp.int32(0)
+            st[0, R_COV, N] = jnp.int32(0)
+            st[0, R_REP, N] = jnp.int32(N)
+            st[0, R_P0, N] = jnp.int32(N)
+            st[0, R_P1, N] = jnp.int32(N)
+            st[0, R_PW0, N] = jnp.int32(0)
+            st[0, R_PW1, N] = jnp.int32(0)
+            for l in range(ALPHABET):
+                st[0, R_LETN + l, N] = jnp.int32(-1)
+            st[0, R_MISC, 0] = blen
+            st[0, R_MISC, 1] = jnp.int32(0)
+            noderow[0] = jnp.broadcast_to(empty_row[:, None, :],
+                                          (N + 1, 1, NR_LANE))
+
+        begin = meta_ref[0, 0, 0, 0]
+        end = meta_ref[0, 0, 0, 1]
+        full = meta_ref[0, 0, 0, 2]
+        ell = jnp.clip(meta_ref[0, 0, 0, 3], 0, LP - 1)
+        layer_active = meta_ref[0, 0, 0, 4]
+        nn0 = st[0, R_MISC, 0]
+        failed0 = st[0, R_MISC, 1]
+        act0 = (layer_active == 1) & (failed0 == 0)
+
+        jidx = _iota2(SUB)
+        jgapm = jnp.where(jidx <= ell, jidx * g_i, NEG)     # masked j*gap
+        seq_tile = seq_ref[0, 0]
+
+        # ---- rank range -------------------------------------------------- #
+        rb_real = jnp.where(full == 1, 0,
+                            st[0, R_RANK, jnp.clip(begin, 0, N - 1)])
+        re_real = jnp.where(full == 1, nn0 - 1,
+                            st[0, R_RANK, jnp.clip(end, 0, N - 1)])
+        rb = jnp.where(act0, jnp.clip(rb_real, 0, N - 1), 1)
+        re = jnp.where(act0, jnp.clip(re_real, 0, N - 1), 0)
+
+        # ---- phase 1: forward DP ----------------------------------------- #
+        def zero_hs(r, _):
+            hs[r] = jnp.int32(0)
+            return 0
+
+        if stop_phase >= 1:
+            jax.lax.fori_loop(rb, re + 1, zero_hs, 0)
+
+        # Per-pred packed rows q_p = (score << 16) | (31-slot) << 11 | rank
+        # combine under max FIRST (score dominates; equal scores keep the
+        # lowest slot), then derive diag/vert from the single winner:
+        #   diag = shift_j(q) + prof << 16            (payload intact)
+        #   vert = q + (gap << 16) - ((P+1) << 11)    (slot code p -> P+1+p)
+        # The virtual source uses the same constant offset (P -> 2P+1).
+        VOFF = (P + 1) << RANK_BITS
+
+        def _qrow(cnt_need, pid):
+            prr = st[0, R_RANK, jnp.clip(pid, 0, N)]
+            valid = cnt_need & (pid < N) & (prr >= rb)
+            prs = jnp.where(valid, prr, N)
+            hs[prs] = jnp.int32(1)
+            hps = jnp.where(valid,
+                            jax.lax.shift_right_arithmetic(
+                                H[pl.ds(prs * SUB, SUB)], jnp.int32(16)),
+                            NEG)
+            return hps, prs, valid
+
+        def dp_body(r, _):
+            v = st[0, R_ORDER, r]
+            cntv = st[0, R_CNT, v]
+            code_v = st[0, R_CODES, v]
+            prof16 = jnp.where(seq_tile == code_v, m_i << 16, x_i << 16)
+
+            hps0, prs0, valid0 = _qrow(cntv >= 1, st[0, R_P0, v])
+            q = hps0 * 65536 + (((31 - 0) << RANK_BITS) | prs0)
+            hps1, prs1, valid1 = _qrow(cntv >= 2, st[0, R_P1, v])
+            q = jnp.maximum(q, hps1 * 65536 + (((31 - 1) << RANK_BITS) | prs1))
+            anyv = valid0 | valid1
+
+            def tail_body(p, carry):
+                q, anyv = carry
+                vrow = noderow[0, v]
+                pid = _extract_lane(vrow, LN_PRED + p, NR_LANE)
+                hps, prs, valid = _qrow(True, pid)
+                q = jnp.maximum(
+                    q, hps * 65536 + (((31 - p) << RANK_BITS) | prs))
+                return q, anyv | valid
+
+            q, anyv = jax.lax.fori_loop(2, cntv, tail_body, (q, anyv))
+
+            virt = jnp.where(~anyv, jgapm, NEG)
+            q = jnp.maximum(
+                q, virt * 65536 + (((31 - P) << RANK_BITS) | N))
+
+            diag = _shift_j(q, NEG * 65536, SUB) + prof16
+            vert = q + (g_i << 16) - VOFF
+            acc = jnp.maximum(diag, vert)
+
+            pre = jax.lax.shift_right_arithmetic(acc, jnp.int32(16))
+            closed = _cummax_j(pre - jgapm, SUB) + jgapm
+            codebits = jnp.where(closed > pre, HZ_PAYLOAD, acc & 0xFFFF)
+            packed = jnp.where(jidx <= ell, closed * 65536 + codebits,
+                               NEG * 65536)
+            H[pl.ds(r * SUB, SUB)] = packed
+            return 0
+
+        if stop_phase >= 1:
+            jax.lax.fori_loop(rb, re + 1, dp_body, 0)
+
+        # ---- phase 2: sink selection (max score, earliest rank) ---------- #
+        ell_sub = ell // LANE
+        ell_lane = ell - ell_sub * LANE
+
+        def sink_body(r, best):
+            bs, br = best
+            row = H[pl.ds(r * SUB + ell_sub, 1)]
+            score = jax.lax.shift_right_arithmetic(
+                _extract_lane(row, ell_lane, LANE), jnp.int32(16))
+            better = (hs[r] == 0) & (score > bs)
+            return (jnp.where(better, score, bs), jnp.where(better, r, br))
+
+        if stop_phase >= 2:
+            _, best_r = jax.lax.fori_loop(rb, re + 1, sink_body,
+                                          (jnp.int32(NEG), jnp.int32(N)))
+        else:
+            best_r = jnp.int32(N)
+
+        # ---- phase 3: traceback; store consumed entries only ------------- #
+        def tb_cond(c):
+            vr, j, t, ts, done = c
+            return (done == 0) & (t < t_cap)
+
+        def tb_body(c):
+            vr, j, t, ts, done = c
+            at_virtual = vr == N
+            vs = jnp.clip(vr, 0, N) * SUB + j // LANE
+            packed = _extract_lane(H[pl.ds(vs, 1)], j % LANE, LANE)
+            move = jnp.where(
+                at_virtual, HORIZ,
+                31 - (jax.lax.shift_right_arithmetic(
+                    packed, jnp.int32(RANK_BITS)) & 31))
+            prr = packed & RANK_MASK
+            is_vert = (move > P) & (move < HORIZ)
+            is_horiz = move == HORIZ
+            store = ~is_vert
+
+            @pl.when(store)
+            def _():
+                pnode[ts] = jnp.where(is_horiz, -1,
+                                      st[0, R_ORDER, jnp.clip(vr, 0, N)])
+                ppos[ts] = j - 1
+
+            ts2 = ts + store.astype(jnp.int32)
+            j2 = jnp.where(is_vert, j, j - 1)
+            vr2 = jnp.where(is_horiz, vr, prr)
+            done2 = ((vr2 == N) & (j2 == 0)).astype(jnp.int32)
+            return vr2, j2, t + 1, ts2, done2
+
+        done0 = jnp.where(act0, 0, 1).astype(jnp.int32)
+        vr0 = jnp.where(act0, best_r, N)
+        j0 = jnp.where(act0, ell, 0)
+        if stop_phase >= 3:
+            vr, j, t, ts, done = jax.lax.while_loop(
+                tb_cond, tb_body, (vr0, j0, jnp.int32(0), jnp.int32(0),
+                                   done0))
+        else:
+            vr, j, t, ts, done = (vr0, j0, jnp.int32(0), jnp.int32(0),
+                                  jnp.int32(1))
+        overrun = (done == 0) & act0
+        failed_tb = jnp.where(overrun, 1, failed0)
+        ts = jnp.where(overrun | ~act0, 0, ts)
+
+        # ---- phase 4: graph update (forward walk over stored entries) ---- #
+        # State is updated in place: new-node state is written immediately
+        # (node ids >= nn0, disjoint from every pre-layer read); mutations
+        # of pre-existing nodes (coverage, edges, letter registration) are
+        # deferred into the delta lists and applied after the merge.
+        n_cols0 = st[0, R_COL, jnp.clip(nn0 - 1, 0, N)] + 1
+
+        def upd_body(i, carry):
+            (prev_res, prev_w, c, k_ins, n_new, pend, lo_key, lo_cnum,
+             failed) = carry
+            idx = ts - 1 - i
+            act = failed == 0
+            v = pnode[jnp.clip(idx, 0, LP - 1)]
+            pos = ppos[jnp.clip(idx, 0, LP - 1)]
+            jj = jnp.clip(pos + 1, 0, LP - 1)
+            letter = seq_s[0, 0, 0, jj]
+            wt = wts_s[0, 0, 0, jj]
+            lclip = jnp.clip(letter, 0, ALPHABET - 1)
+            c2 = jnp.where(act, c + 1, c)
+
+            matched = v >= 0
+            vsafe = jnp.where(matched, v, N)
+            code_v = st[0, R_CODES, vsafe]
+            rep_n = st[0, R_REP, vsafe]
+            sib = st[0, R_LETN + lclip, jnp.clip(rep_n, 0, N)]
+
+            same = matched & (code_v == letter)
+            use_sib = matched & ~same & (sib >= 0)
+            create = ~same & ~use_sib
+            created_matched = create & matched
+
+            new_raw = nn0 + n_new
+            overflow_n = create & (new_raw >= N)
+            new_id = jnp.minimum(new_raw, N)
+            resolved = jnp.where(same, vsafe,
+                                 jnp.where(use_sib, sib, new_id))
+
+            # anchor key = column key of the matched node
+            ak = st[0, R_COL, jnp.clip(st[0, R_RANK, vsafe], 0, N)] * KEY_SCALE
+            do_close = act & matched & (pend >= 0)
+
+            @pl.when(do_close)
+            def _():
+                k_run = jnp.maximum(c2 - lo_cnum - 1, 0)
+                kp1 = jnp.maximum(k_run + 1, 1)
+                span = ak - lo_key
+                q_div = span // kp1
+                rem = span - q_div * kp1
+
+                def fix(kk, _):
+                    m1 = kk + 1
+                    ins_key[pend + kk] = \
+                        (lo_key + q_div * m1 + (rem * m1) // kp1) | 1
+                    return 0
+
+                jax.lax.fori_loop(0, k_ins - pend, fix, 0)
+
+            has_tail = prev_res >= 0
+            ew = prev_w + wt
+
+            # new node: write state immediately (merge skips new ids)
+            @pl.when(act & create)
+            def _():
+                st[0, R_CODES, new_id] = letter
+                st[0, R_CNT, new_id] = jnp.int32(0)
+                st[0, R_COV, new_id] = jnp.int32(0)  # +1 via delta below
+                st[0, R_REP, new_id] = jnp.where(created_matched, rep_n,
+                                                 new_id)
+                st[0, R_P0, new_id] = jnp.int32(N)
+                st[0, R_P1, new_id] = jnp.int32(N)
+                st[0, R_PW0, new_id] = jnp.int32(0)
+                st[0, R_PW1, new_id] = jnp.int32(0)
+                for l in range(ALPHABET):
+                    st[0, R_LETN + l, new_id] = jnp.int32(-1)
+                noderow[0, new_id] = empty_row
+                ins_node[jnp.clip(k_ins, 0, LP - 1)] = new_id
+                ins_key[jnp.clip(k_ins, 0, LP - 1)] = ak  # run keys fixed later
+
+            # register the letter on the column representative.  For a new
+            # column the rep is the new node itself (letn row just
+            # initialized above); for a join the existing rep's letn row is
+            # live pre-layer state — defer to the delta list.
+            @pl.when(act & create & ~matched)
+            def _():
+                st[0, R_LETN + lclip, new_id] = new_id
+
+            # edge slot resolution against pre-layer state (heads are
+            # touched at most once per layer, so pre-merge reads are exact)
+            cnt_h = jnp.where(create, 0, st[0, R_CNT, resolved])
+            hit0 = has_tail & (cnt_h >= 1) & \
+                (st[0, R_P0, resolved] == prev_res)
+            hit1 = has_tail & (cnt_h >= 2) & \
+                (st[0, R_P1, resolved] == prev_res)
+
+            def scan_body(p, found):
+                hrow = noderow[0, jnp.clip(resolved, 0, N)]
+                pid = _extract_lane(hrow, LN_PRED + p, NR_LANE)
+                return jnp.where((pid == prev_res) & (found < 0), p, found)
+
+            deep0 = jnp.where(has_tail & ~hit0 & ~hit1, jnp.int32(-1),
+                              jnp.int32(-2))
+            deep = jax.lax.fori_loop(2, jnp.where(deep0 == -1, cnt_h, 0),
+                                     scan_body, deep0)
+            slot = jnp.where(hit0, 0, jnp.where(hit1, 1,
+                             jnp.where(deep >= 0, deep, -1)))
+            overflow_p = act & has_tail & (slot < 0) & (cnt_h >= P)
+
+            @pl.when(act)
+            def _():
+                d_node[jnp.clip(idx, 0, LP - 1)] = resolved
+                d_flag[jnp.clip(idx, 0, LP - 1)] = \
+                    jnp.where(create, 0, 1) + 2 * jnp.where(
+                        created_matched, 1, 0)
+                d_tail[jnp.clip(idx, 0, LP - 1)] = \
+                    jnp.where(has_tail, prev_res, -1)
+                d_w[jnp.clip(idx, 0, LP - 1)] = ew
+                # stash rep/letter for deferred column registration
+                d_slot[jnp.clip(idx, 0, LP - 1)] = jnp.where(
+                    created_matched,
+                    slot * 8 * (N + 1) + rep_n * 8 + lclip,
+                    slot * 8 * (N + 1))
+
+            failed2 = jnp.where(act & (overflow_n | overflow_p), 1, failed)
+            k_ins2 = jnp.where(act & create, k_ins + 1, k_ins)
+            n_new2 = jnp.where(act & create, n_new + 1, n_new)
+            pend2 = jnp.where(
+                act & matched, -1,
+                jnp.where(act & create & ~matched & (pend < 0), k_ins, pend))
+            lo_key2 = jnp.where(act & matched, ak, lo_key)
+            lo_cnum2 = jnp.where(act & matched, c2, lo_cnum)
+            prev_res2 = jnp.where(act, resolved, prev_res)
+            prev_w2 = jnp.where(act, wt, prev_w)
+            return (prev_res2, prev_w2, c2, k_ins2, n_new2, pend2, lo_key2,
+                    lo_cnum2, failed2)
+
+        upd_init = (jnp.int32(-1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                    jnp.int32(0), jnp.int32(-1), jnp.int32(-KEY_SCALE),
+                    jnp.int32(0), failed_tb)
+        if stop_phase >= 4:
+            (prev_res, prev_w, c_tot, k_ins, n_new, pend, lo_key, lo_cnum,
+             failed_u) = jax.lax.fori_loop(0, ts, upd_body, upd_init)
+        else:
+            (prev_res, prev_w, c_tot, k_ins, n_new, pend, lo_key, lo_cnum,
+             failed_u) = upd_init
+
+        # trailing run: no next anchor
+        @pl.when((pend >= 0) & (failed_u == 0))
+        def _():
+            hi_key = (n_cols0 + 1) * KEY_SCALE
+            hi_cnum = c_tot + 1
+            k_run = jnp.maximum(hi_cnum - lo_cnum - 1, 0)
+            kp1 = jnp.maximum(k_run + 1, 1)
+            span = hi_key - lo_key
+            q_div = span // kp1
+            rem = span - q_div * kp1
+
+            def fix(kk, _):
+                m1 = kk + 1
+                ins_key[pend + kk] = \
+                        (lo_key + q_div * m1 + (rem * m1) // kp1) | 1
+                return 0
+
+            jax.lax.fori_loop(0, k_ins - pend, fix, 0)
+
+        ok = act0 & (failed_u == 0)
+        n_ins = jnp.where(ok, k_ins, 0)
+        n_nodes2 = jnp.where(ok, nn0 + n_new, nn0)
+
+        # ---- phase 5: merge re-rank into scratch, then copy back --------- #
+        # The stable two-stream merge (see fused_step.py docstring for the
+        # correctness argument) reads the old order/col while producing the
+        # new ranking, so it targets the tmp_ord/tmp_col scratch; rank is
+        # node-indexed (write-only here) and updates in place.
+        def merge_body(nr, carry):
+            q, k, newcol, prev_key = carry
+            qs = jnp.clip(q, 0, N)
+            old_key = jnp.where(q < nn0, st[0, R_COL, qs] * KEY_SCALE,
+                                INT_MAX)
+            ik = jnp.where(k < n_ins,
+                           ins_key[jnp.clip(k, 0, LP - 1)], INT_MAX)
+            take_ins = ik < old_key
+            node = jnp.where(take_ins,
+                             ins_node[jnp.clip(k, 0, LP - 1)],
+                             st[0, R_ORDER, qs])
+            key = jnp.where(take_ins, ik, old_key)
+            newcol2 = newcol + (key != prev_key).astype(jnp.int32)
+            tmp_ord[nr] = node
+            tmp_col[nr] = newcol2
+            st[0, R_RANK, jnp.clip(node, 0, N)] = nr
+            return (q + (1 - take_ins.astype(jnp.int32)),
+                    k + take_ins.astype(jnp.int32), newcol2, key)
+
+        def copyback(nr, _):
+            st[0, R_ORDER, nr] = tmp_ord[nr]
+            st[0, R_COL, nr] = tmp_col[nr]
+            return 0
+
+        if stop_phase >= 5:
+
+            @pl.when(ok & (n_ins > 0))
+            def _():
+                jax.lax.fori_loop(0, n_nodes2, merge_body,
+                                  (jnp.int32(0), jnp.int32(0), jnp.int32(-1),
+                                   jnp.int32(INT_MIN)))
+                jax.lax.fori_loop(0, n_nodes2, copyback, 0)
+
+        # ---- phase 6: apply deferred deltas ------------------------------ #
+        def apply_body(i, _):
+            idx = i
+            head = d_node[jnp.clip(idx, 0, LP - 1)]
+            flag = d_flag[jnp.clip(idx, 0, LP - 1)]
+            tail = d_tail[jnp.clip(idx, 0, LP - 1)]
+            w = d_w[jnp.clip(idx, 0, LP - 1)]
+            packed_slot = d_slot[jnp.clip(idx, 0, LP - 1)]
+            slot = packed_slot // (8 * (N + 1))
+            st[0, R_COV, head] = st[0, R_COV, head] + 1
+
+            @pl.when(flag >= 2)   # deferred column-letter registration
+            def _():
+                rl = packed_slot - slot * 8 * (N + 1)
+                rep_n = rl // 8
+                lclip = rl - rep_n * 8
+                st[0, R_LETN + jnp.clip(lclip, 0, ALPHABET - 1),
+                   jnp.clip(rep_n, 0, N)] = head
+
+            @pl.when(tail >= 0)
+            def _():
+                cnt_h = st[0, R_CNT, head]
+                new_slot = jnp.where(slot >= 0, slot, cnt_h)
+
+                @pl.when(new_slot == 0)
+                def _():
+                    st[0, R_P0, head] = tail
+                    st[0, R_PW0, head] = st[0, R_PW0, head] + w
+
+                @pl.when(new_slot == 1)
+                def _():
+                    st[0, R_P1, head] = tail
+                    st[0, R_PW1, head] = st[0, R_PW1, head] + w
+
+                @pl.when(new_slot >= 2)
+                def _():
+                    hrow = noderow[0, jnp.clip(head, 0, N)]
+                    h2 = jnp.where(lane1 == LN_PRED + new_slot, tail, hrow)
+                    h2 = jnp.where(lane1 == LN_PREDW + new_slot, h2 + w, h2)
+                    noderow[0, jnp.clip(head, 0, N)] = h2
+
+                cnt_h2 = cnt_h + jnp.where(slot < 0, 1, 0)
+                st[0, R_CNT, head] = cnt_h2
+
+            return 0
+
+        if stop_phase >= 6:
+
+            @pl.when(ok)
+            def _():
+                jax.lax.fori_loop(0, ts, apply_body, 0)
+
+        st[0, R_MISC, 0] = n_nodes2
+        st[0, R_MISC, 1] = jnp.where(act0, failed_u, failed0)
+
+    return kernel
+
+
+# --------------------------------------------------------------------- #
+# host-side invocation
+# --------------------------------------------------------------------- #
+
+
+def check_capacity(N: int, match: int, mismatch: int, gap: int,
+                   L: int, sub_l: int) -> bool:
+    """True when shapes/scores fit the kernel's packed-int32 cells."""
+    worst = max(abs(match), abs(mismatch), abs(gap)) * (L + 1 + N + 1)
+    return (N <= RANK_MASK - 1 and L + 1 <= sub_l * LANE
+            and sub_l <= MAX_SUB and worst < SCORE_LIMIT)
+
+
+def pack_layer_tiles(seq: np.ndarray, wts: np.ndarray, sub_l: int):
+    """Host packing of layer sequences/weights into shifted (sub,128)
+    tiles.  seq/wts: [D, B, L] int arrays (PAD_CODE / 0 beyond length).
+    Packed layout: packed[j] = seq[j-1] (pad at j=0)."""
+    D, B, L = seq.shape
+    LP = sub_l * LANE
+    assert L + 1 <= LP, f"layer length {L} exceeds row cap {LP - 1}"
+    seq_t = np.full((D, B, LP), PAD_CODE, np.int32)
+    seq_t[:, :, 1:L + 1] = seq
+    wts_t = np.zeros((D, B, LP), np.int32)
+    wts_t[:, :, 1:L + 1] = wts
+    return (seq_t.reshape(D, B, sub_l, LANE),
+            wts_t.reshape(D, B, sub_l, LANE))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_cap", "p_cap", "sub_l", "match", "mismatch", "gap", "t_cap",
+    "interpret", "stop_phase"))
+def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
+                 n_cap: int, p_cap: int, sub_l: int, match: int,
+                 mismatch: int, gap: int, t_cap: int,
+                 interpret: bool = False, stop_phase: int = 9):
+    """Build every window's POA graph for one chunk in a single kernel.
+
+    backbone:     [B, L0] i32 codes (PAD beyond backbone_len)
+    backbone_w:   [B, L0] i32 weights (0 beyond backbone_len)
+    backbone_len: [B] i32
+    metas:        [D, B, 8] i32 (begin, end, full, length, active, 0, 0, 0)
+    seq_t/wts_t:  [D, B, sub_l, 128] i32 shifted layer codes/weights
+
+    Returns (state, noderow): state [B, S_ROWS, N+1] i32 packed scalar
+    table, noderow [B, N+1, 1, 32] i32 pred-overflow rows.
+    """
+    D, B = metas.shape[0], metas.shape[1]
+    N = n_cap
+    Np1 = N + 1
+    LP = sub_l * LANE
+    L0 = backbone.shape[1]
+    kernel = make_chunk_kernel(N, p_cap, sub_l, t_cap, match, mismatch, gap,
+                               stop_phase=stop_phase)
+    metas = metas.reshape(D, B, 1, 8)
+    seq_s = seq_t.reshape(D, B, 1, LP)
+    wts_s = wts_t.reshape(D, B, 1, LP)
+    bb3 = backbone.reshape(B, 1, L0)
+    bbw3 = backbone_w.reshape(B, 1, L0)
+    bbl3 = backbone_len.reshape(B, 1, 1)
+
+    sds = jax.ShapeDtypeStruct
+    smem_b = lambda w: pl.BlockSpec((1, 1, w), lambda b, d: (b, 0, 0),
+                                    memory_space=pltpu.SMEM)
+    smem_d = lambda w: pl.BlockSpec((1, 1, 1, w), lambda b, d: (d, b, 0, 0),
+                                    memory_space=pltpu.SMEM)
+    state, noderow = pl.pallas_call(
+        kernel,
+        grid=(B, D),
+        in_specs=[
+            smem_b(L0), smem_b(L0), smem_b(1),            # backbone
+            smem_d(8),                                    # meta
+            pl.BlockSpec((1, 1, sub_l, LANE), lambda b, d: (d, b, 0, 0),
+                         memory_space=pltpu.VMEM),        # seq tile
+            smem_d(LP), smem_d(LP),                       # seq_s wts_s
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S_ROWS, Np1), lambda b, d: (b, 0, 0),
+                         memory_space=pltpu.SMEM),        # state
+            pl.BlockSpec((1, Np1, 1, NR_LANE), lambda b, d: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),        # noderow
+        ],
+        out_shape=[
+            sds((B, S_ROWS, Np1), jnp.int32),
+            sds((B, Np1, 1, NR_LANE), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Np1 * sub_l, LANE), jnp.int32),   # H (packed)
+            pltpu.SMEM((Np1,), jnp.int32),                # hs
+            pltpu.SMEM((LP,), jnp.int32),                 # pnode
+            pltpu.SMEM((LP,), jnp.int32),                 # ppos
+            pltpu.SMEM((LP,), jnp.int32),                 # ins_node
+            pltpu.SMEM((LP,), jnp.int32),                 # ins_key
+            pltpu.SMEM((LP,), jnp.int32),                 # d_node
+            pltpu.SMEM((LP,), jnp.int32),                 # d_tail
+            pltpu.SMEM((LP,), jnp.int32),                 # d_w
+            pltpu.SMEM((LP,), jnp.int32),                 # d_slot
+            pltpu.SMEM((LP,), jnp.int32),                 # d_flag
+            pltpu.SMEM((Np1,), jnp.int32),                # tmp_ord
+            pltpu.SMEM((Np1,), jnp.int32),                # tmp_col
+        ],
+        interpret=interpret,
+    )(bb3, bbw3, bbl3, metas, seq_t, seq_s, wts_s)
+    return state, noderow
+
+
+@functools.partial(jax.jit, static_argnames=("p_cap",))
+def pack_for_download_chunk(state, noderow, p_cap: int):
+    """Downcast the chunk result for host download (the device tunnel is
+    bandwidth-limited); layout matches fused_step.pack_for_download_fused."""
+    P = p_cap
+    LN_PRED, LN_PREDW = _lane_layout(P)
+    rows = noderow[:, :, 0, :]                             # [B, N+1, 32]
+    pred = rows[:, :, LN_PRED:LN_PRED + P]
+    pred = pred.at[:, :, 0].set(state[:, R_P0, :])
+    pred = pred.at[:, :, 1].set(state[:, R_P1, :])
+    pred_w = rows[:, :, LN_PREDW:LN_PREDW + P]
+    pred_w = pred_w.at[:, :, 0].set(state[:, R_PW0, :])
+    pred_w = pred_w.at[:, :, 1].set(state[:, R_PW1, :])
+    return dict(
+        codes=state[:, R_CODES, :].astype(jnp.int8),
+        pred=pred.astype(jnp.int16),
+        pred_w=pred_w,
+        pred_cnt=state[:, R_CNT, :].astype(jnp.int16),
+        cov=state[:, R_COV, :].astype(jnp.int16),
+        order=state[:, R_ORDER, :-1].astype(jnp.int16),
+        rank=jnp.minimum(state[:, R_RANK, :],
+                         jnp.int32(2 ** 15 - 1)).astype(jnp.int16),
+        n_nodes=state[:, R_MISC, 0],
+        failed=state[:, R_MISC, 1] > 0,
+    )
+
+
+def unpack_chunk_state(state, noderow, p_cap: int):
+    """Chunk result -> engine.GraphState, normalized for bit-comparison
+    with the XLA engine (sentinel values for entries >= n_nodes)."""
+    from racon_tpu.poa.engine import GraphState
+    P = p_cap
+    LN_PRED, LN_PREDW = _lane_layout(P)
+    state = jnp.asarray(state)
+    rows = jnp.asarray(noderow)[:, :, 0, :]                # [B, N+1, 32]
+    B, Np1 = state.shape[0], state.shape[2]
+    N = Np1 - 1
+    n = state[:, R_MISC, 0]
+    failed = state[:, R_MISC, 1] > 0
+    node_ar = jnp.arange(Np1, dtype=jnp.int32)[None, :]
+    node_ok = node_ar < n[:, None]
+    rank_ok = node_ar < n[:, None]
+
+    pred = rows[:, :, LN_PRED:LN_PRED + P]
+    pred = pred.at[:, :, 0].set(state[:, R_P0, :])
+    pred = pred.at[:, :, 1].set(state[:, R_P1, :])
+    pred_w = rows[:, :, LN_PREDW:LN_PREDW + P]
+    pred_w = pred_w.at[:, :, 0].set(state[:, R_PW0, :])
+    pred_w = pred_w.at[:, :, 1].set(state[:, R_PW1, :])
+    slot_ar = jnp.arange(P, dtype=jnp.int32)[None, None, :]
+    slot_ok = slot_ar < state[:, R_CNT, :, None]
+    pred = jnp.where(node_ok[:, :, None] & slot_ok, pred, N)
+    pred_w = jnp.where(node_ok[:, :, None] & slot_ok, pred_w, 0)
+
+    letn = jnp.stack([state[:, R_LETN + l, :] for l in range(ALPHABET)],
+                     axis=2)
+    letter_node = jnp.where(node_ok[:, :, None], letn, -1)
+    rep = jnp.where(node_ok, state[:, R_REP, :], N)
+    cov = jnp.where(node_ok, state[:, R_COV, :], 0)
+    codes = jnp.where(node_ok, state[:, R_CODES, :], PAD_CODE)
+    cnt = jnp.where(node_ok, state[:, R_CNT, :], 0)
+    rank = jnp.where(node_ok, state[:, R_RANK, :], BIG_RANK)
+    order = jnp.where(rank_ok, state[:, R_ORDER, :], N)[:, :N]
+    key = jnp.where(rank_ok, state[:, R_COL, :] * KEY_SCALE, 2 ** 30)
+    b2 = jnp.arange(B)[:, None]
+    key_n = jnp.full((B, Np1), 2 ** 30, jnp.int32)
+    key_n = key_n.at[b2, jnp.where(rank_ok, state[:, R_ORDER, :], N)].set(
+        jnp.where(rank_ok, key, 2 ** 30))
+    key_n = jnp.where(node_ok, key_n, 2 ** 30)
+
+    return GraphState(codes=codes, key=key_n, pred=pred, pred_w=pred_w,
+                      pred_cnt=cnt, cov=cov, rep=rep,
+                      letter_node=letter_node, order=order, rank=rank,
+                      n_nodes=n, failed=failed)

@@ -194,7 +194,8 @@ def make_fused_kernel(N: int, P: int, t_cap: int, match: int, mismatch: int,
                               N, 0)
 
         # ---- phase 0: bulk copy + sentinels ----------------------------- #
-        noderow_out[...] = noderow_in[...]
+        if stop_phase >= 0:
+            noderow_out[...] = noderow_in[...]
         order_out[0, 0, N] = jnp.int32(N)
         rank_out[0, 0, N] = jnp.int32(BIG_RANK)
         codes_out[0, 0, N] = jnp.int32(PAD_CODE)
@@ -397,7 +398,8 @@ def make_fused_kernel(N: int, P: int, t_cap: int, match: int, mismatch: int,
 
                 def fix(kk, _):
                     m1 = kk + 1
-                    ins_key[pend + kk] = lo_key + q_div * m1 + (rem * m1) // kp1
+                    ins_key[pend + kk] = \
+                        (lo_key + q_div * m1 + (rem * m1) // kp1) | 1
                     return 0
 
                 jax.lax.fori_loop(0, k_ins - pend, fix, 0)
@@ -504,7 +506,8 @@ def make_fused_kernel(N: int, P: int, t_cap: int, match: int, mismatch: int,
 
             def fix(kk, _):
                 m1 = kk + 1
-                ins_key[pend + kk] = lo_key + q_div * m1 + (rem * m1) // kp1
+                ins_key[pend + kk] = \
+                        (lo_key + q_div * m1 + (rem * m1) // kp1) | 1
                 return 0
 
             jax.lax.fori_loop(0, k_ins - pend, fix, 0)

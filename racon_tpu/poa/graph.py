@@ -210,7 +210,13 @@ class POAGraph:
                 if idx == 0 or anchor_keys[idx - 1] is not None:
                     run_lo, run_hi, run_k = run_bounds(idx)
                     run_m = 0
-                key = run_lo + (run_hi - run_lo) * (run_m + 1) // (run_k + 1)
+                # inserted-run keys are forced ODD: renormalized column
+                # keys are even multiples of KEY_SCALE, so an interpolated
+                # key can never collide with an existing column's key (a
+                # collision would merge/reorder columns differently across
+                # the engines -- see fused_step.py merge correctness note)
+                key = (run_lo
+                       + (run_hi - run_lo) * (run_m + 1) // (run_k + 1)) | 1
                 run_m += 1
                 resolved.append(self._add_node(letter, key))
 
