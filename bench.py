@@ -4,10 +4,13 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Metric: consensus throughput (windows polished per second) on the bundled
-lambda dataset (fastq reads + PAF overlaps + layout contig, racon test
-defaults w=500 m=5 x=-4 g=-8 — the config of the reference's primary golden,
-test/racon_test.cpp:86-107).
+Primary metric: consensus throughput (windows polished per second) on the
+bundled lambda dataset (fastq reads + PAF overlaps + layout contig, racon
+test defaults w=500 m=5 x=-4 g=-8 — the config of the reference's primary
+golden, test/racon_test.cpp:86-107).  The stderr line additionally reports
+the end-to-end wall time (initialize + polish, the full pipeline the user
+experiences) and polished bases/s — the align phase is counted there, not
+hidden (reference: both phases are timed in src/polisher.cpp).
 
 Baseline: the host-oracle implementation of the same semantics measured on
 this machine's CPU (see BASELINE.md).  The reference binary itself cannot be
@@ -26,14 +29,18 @@ import time
 # threads for the (overlapped) download+consensus collect phase, like the
 # reference's threaded GPU runs.
 CPU_BASELINE_WINDOWS_PER_SEC = 38.2
+CPU_BASELINE_E2E_SEC = 10.65   # oracle end-to-end (init + polish), 1 core
 
 DATA = os.environ.get("RACON_TPU_BENCH_DATA", "/root/reference/test/data")
 
 
 def main() -> int:
+    from racon_tpu.parallel.mesh import initialize_distributed
     from racon_tpu.pipeline import PolisherType, create_polisher
 
+    initialize_distributed()
     engine = os.environ.get("RACON_TPU_BENCH_ENGINE", "tpu")
+    t_start = time.time()
     p = create_polisher(
         f"{DATA}/sample_reads.fastq.gz",
         f"{DATA}/sample_overlaps.paf.gz",
@@ -42,25 +49,34 @@ def main() -> int:
         num_threads=int(os.environ.get("RACON_TPU_BENCH_THREADS", "4")),
         engine=engine)
     p.initialize()
+    t_init = time.time() - t_start
     n_windows = len(p.windows)
 
     # warmup run compiles all bucket programs; rebuild for the timed run
-    import copy
     windows_snapshot = p.windows
     eng = p._make_engine()
     t0 = time.time()
-    eng.polish_windows(windows_snapshot, p.trim)
+    results = eng.polish_windows(windows_snapshot, p.trim)
     warm = time.time() - t0
 
     t0 = time.time()
     results = eng.polish_windows(windows_snapshot, p.trim)
     dt = time.time() - t0
     wps = n_windows / dt
+    polished_bases = sum(len(c) for c, ok in results if c)
+
+    # end-to-end time as a user sees it (cold align + warm consensus): the
+    # initialize phase (parse + align + window build) plus one consensus
+    # pass; reported per-base
+    e2e = t_init + dt
+    mbps = polished_bases / e2e / 1e6
 
     stats = getattr(eng, "stats", {})
-    print(f"[bench] engine={engine} windows={n_windows} "
-          f"warm={warm:.2f}s timed={dt:.2f}s device={stats.get('device')} "
-          f"fallback={stats.get('fallback')} trivial={stats.get('trivial')}",
+    print(f"[bench] engine={engine} windows={n_windows} init={t_init:.2f}s "
+          f"warm={warm:.2f}s timed={dt:.2f}s e2e={e2e:.2f}s "
+          f"({mbps:.3f} Mbases/s e2e) device={stats.get('device')} "
+          f"fallback={stats.get('fallback')} trivial={stats.get('trivial')} "
+          f"degraded={stats.get('degraded', 0)}",
           file=sys.stderr)
 
     print(json.dumps({
@@ -68,6 +84,8 @@ def main() -> int:
         "value": round(wps, 3),
         "unit": "windows/s",
         "vs_baseline": round(wps / CPU_BASELINE_WINDOWS_PER_SEC, 3),
+        "e2e_sec": round(e2e, 2),
+        "e2e_vs_baseline": round(CPU_BASELINE_E2E_SEC / e2e, 3),
     }))
     return 0
 

@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # multi-host: join the JAX coordination service when configured
+    # (RACON_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID); windows are then
+    # sharded across processes and every host stitches the identical
+    # output (SURVEY.md §5.8 — the distributed layer the reference lacks)
+    from racon_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed()
+
     from racon_tpu.pipeline import PolisherType, create_polisher
 
     polisher = create_polisher(

@@ -1057,7 +1057,7 @@ void* rt_polish_windows(
 
 
 // Heaviest-bundle consensus for a batch of downloaded device graphs.
-// Arrays use the TPU engine's download layout (racon_tpu/poa/fused_step.py
+// Arrays use the TPU engine download layout (racon_tpu/poa/fused_chunk.py
 // pack_for_download_fused): codes [B,Np1] i8, pred [B,Np1,P] i16 (Np1-1 =
 // empty sentinel), pred_w [B,Np1,P] i32, pred_cnt [B,Np1] i16, cov [B,Np1]
 // i16, order [B,Np1-1] i16 (rank->node), n_nodes [B] i32, skip [B] u8.

@@ -277,7 +277,7 @@ def stream_sequences(path: str, is_fastq: bool,
 def consensus_batch(packed: dict, skip: np.ndarray, num_threads: int = 1):
     """Heaviest-bundle consensus for a batch of downloaded device graphs.
 
-    packed: the dict produced by fused_step.pack_for_download_fused /
+    packed: the dict produced by fused_chunk.pack_for_download_chunk /
     engine.pack_for_download (numpy arrays).  Returns a list of
     (consensus bytes, coverage int16 array) — None where skip[i] is set.
     """

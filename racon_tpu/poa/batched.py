@@ -86,8 +86,8 @@ class BatchedPOAEngine:
         # positions (reference GPU precedent: cudapoa BatchConfig max seq
         # len 1023, src/cuda/cudabatch.cpp); longer layers -> host fallback
         if self.mode in ("fused", "pallas"):
-            from racon_tpu.poa.fused_step import LP
-            l_cap = LP - 1
+            from racon_tpu.poa.fused_chunk import LANE, MAX_SUB
+            l_cap = MAX_SUB * LANE - 1
         else:
             l_cap = 1 << 30
 
@@ -124,9 +124,11 @@ class BatchedPOAEngine:
         # shapes or exotic scores that break the packing use the XLA path
         mode = self.mode
         if mode == "fused":
-            from racon_tpu.poa.fused_step import check_capacity
+            from racon_tpu.poa.fused_chunk import check_capacity
             N = min(N, 2046)
-            if not check_capacity(N, self.match, self.mismatch, self.gap, L):
+            sub_l = -(-(L + 1) // 128)
+            if not check_capacity(N, self.match, self.mismatch, self.gap, L,
+                                  sub_l):
                 mode = "xla"
                 print("[racon_tpu::BatchedPOAEngine] capacity check failed "
                       f"(N={N} L={L} scores=({self.match},{self.mismatch},"
@@ -244,30 +246,32 @@ class BatchedPOAEngine:
                 full[d, b] = bg < offset and en > len(bb) - offset
                 active[d, b] = True
 
-        # upload all layers once; slice per layer on device (the host<->device
-        # link is latency/bandwidth-limited); one jitted program per
-        # (B, L, N) regardless of depth
+        # upload all layers once; the whole chunk (every window's full
+        # layer stack) runs as ONE resident-state kernel launch; depth is
+        # padded to a multiple of 8 so compile counts stay bounded
         if mode == "fused":
-            from racon_tpu.poa import fused_step as F
-            fs = F.init_fused(put(backbone), put(backbone_w),
-                              put(backbone_len), N, self.p_cap)
-            metas = np.zeros((D, Bp, 1, 8), np.int32)
-            metas[:, :, 0, 0] = begin
-            metas[:, :, 0, 1] = end
-            metas[:, :, 0, 2] = full
-            metas[:, :, 0, 3] = length
-            metas[:, :, 0, 4] = active
-            seq_t, wts_t = F.pack_layer_tiles(seq.astype(np.int32),
-                                              wts.astype(np.int32))
-            metas = put(metas)
-            seq_t = put(seq_t)
-            wts_t = put(wts_t)
-            for d in range(D):
-                fs = F.fused_layer_step_at(
-                    fs, metas, seq_t, wts_t, d, p_cap=self.p_cap,
-                    match=self.match, mismatch=self.mismatch, gap=self.gap,
-                    t_cap=t_cap, interpret=F.INTERPRET)
-            packed = F.pack_for_download_fused(fs, p_cap=self.p_cap)
+            from racon_tpu.poa import fused_chunk as FC
+            sub_l = -(-(L + 1) // 128)
+            Dp = _round_up(max(D, 1), 4)
+            metas = np.zeros((Dp, Bp, 8), np.int32)
+            metas[:D, :, 0] = begin
+            metas[:D, :, 1] = end
+            metas[:D, :, 2] = full
+            metas[:D, :, 3] = length
+            metas[:D, :, 4] = active
+            if Dp > D:
+                pad = np.zeros((Dp - D, Bp, seq.shape[2]), seq.dtype)
+                seq = np.concatenate([seq, pad + E.PAD_CODE], axis=0)
+                wts = np.concatenate([wts, np.zeros_like(pad)], axis=0)
+            seq_t, wts_t = FC.pack_layer_tiles(seq.astype(np.int32),
+                                               wts.astype(np.int32), sub_l)
+            st, nr = FC.polish_chunk(
+                put(backbone), put(backbone_w), put(backbone_len),
+                put(metas), put(seq_t), put(wts_t), n_cap=N,
+                p_cap=self.p_cap, sub_l=sub_l, match=self.match,
+                mismatch=self.mismatch, gap=self.gap, t_cap=t_cap,
+                interpret=FC.INTERPRET)
+            packed = FC.pack_for_download_chunk(st, nr, p_cap=self.p_cap)
         else:
             state = E.init_graphs(put(backbone), put(backbone_w),
                                   put(backbone_len), N, self.p_cap)

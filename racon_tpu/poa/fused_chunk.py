@@ -1,8 +1,8 @@
 """Resident multi-layer Pallas TPU kernel: a whole window-chunk POA build
 in ONE kernel launch.
 
-This is the second-generation fused engine (successor of the per-layer
-kernel in racon_tpu/poa/fused_step.py).  The grid is (B, D) with the window
+This is the second-generation fused engine (successor of the round-1
+per-layer kernel).  The grid is (B, D) with the window
 index MAJOR and the layer index MINOR, and every piece of per-window graph
 state (the packed scalar table, the predecessor-overflow rows) uses a block
 index that depends only on the window — so Pallas keeps the state RESIDENT
@@ -32,6 +32,18 @@ against the XLA engine by tests/test_fused_chunk.py in interpret mode.
 The sequence-axis row width is parametric (``sub_l`` sublanes of 128 lanes,
 LP = 128*sub_l positions, max 1024): buckets with short layers use narrower
 rows, shrinking both the DP work and the on-chip H matrix.
+
+Why the merge re-rank reproduces the engine's lexsort: the XLA engine
+orders nodes by (key, rep, id).  All nodes created by one layer carry
+non-decreasing insertion keys: interpolated run keys are strictly between
+their anchors and strictly increasing, and column-joining nodes carry
+exactly their anchor column's key.  Column keys are even multiples of
+KEY_SCALE while run keys are forced odd (graph.py), so a key TIE can only
+be (a) among members of one column, where rep is shared and id order puts
+the new member last — exactly the merge's old-first rule — or (b) between
+a new column-joining node and its own column's old members, same case.
+Hence a stable two-stream merge (old ranks, new nodes) by key with
+old-first ties equals the (key, rep, id) lexsort.
 
 Capacity limits (checked by the caller, host fallback otherwise):
 L+1 <= 128*sub_l <= 1024 (reference GPU has the same 1023 cap,
@@ -82,7 +94,16 @@ R_PW0 = 9       # node -> pred slot 0 weight
 R_PW1 = 10      # node -> pred slot 1 weight
 R_MISC = 11     # [0] = n_nodes, [1] = failed
 R_LETN = 12     # + letter: column-member node per letter (-1), rep-indexed
-S_ROWS = R_LETN + ALPHABET
+R_PRED2 = R_LETN + ALPHABET   # + (p-2): pred id slots 2..P-1 (N = empty)
+
+
+def s_rows(p_cap: int) -> int:
+    """State-table row count: the deep pred-slot IDS live in SMEM rows so
+    the DP tail and the update-phase edge scan read them as scalars (a
+    VMEM lane extract costs ~300 ns of readback latency per slot, which
+    dominated both loops on deep graphs); only the deep pred WEIGHTS stay
+    in the VMEM noderow (written, never latency-critically read)."""
+    return R_PRED2 + max(0, p_cap - 2)
 
 # Set True (tests on the CPU backend) to run the kernel interpreted.
 INTERPRET = False
@@ -165,16 +186,16 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
         g_i = jnp.int32(gap)
 
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, NR_LANE), 1)
-        empty_row = jnp.where((lane1 >= LN_PRED) & (lane1 < LN_PRED + P),
-                              N, 0)
+        # noderow now carries only the deep pred WEIGHTS (ids mirror in
+        # SMEM state rows); a fresh row is all zeros
+        empty_row = jnp.zeros((1, NR_LANE), jnp.int32)
 
         # ---- window init (first layer step only) ------------------------ #
         # Build the backbone chain directly into the resident state (the
         # buffers are reused across windows, so every entry a later read
         # can touch is re-established here: the chain, the index-N
         # sentinels, and the misc row).
-        @pl.when(d_id == 0)
-        def _():
+        def _init_window():
             blen = bbl_ref[0, 0, 0]
 
             def init_body(v, _):
@@ -216,6 +237,12 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             st[0, R_MISC, 1] = jnp.int32(0)
             noderow[0] = jnp.broadcast_to(empty_row[:, None, :],
                                           (N + 1, 1, NR_LANE))
+
+        if stop_phase >= -1:
+
+            @pl.when(d_id == 0)
+            def _():
+                _init_window()
 
         begin = meta_ref[0, 0, 0, 0]
         end = meta_ref[0, 0, 0, 1]
@@ -277,16 +304,34 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             q = jnp.maximum(q, hps1 * 65536 + (((31 - 1) << RANK_BITS) | prs1))
             anyv = valid0 | valid1
 
-            def tail_body(p, carry):
-                q, anyv = carry
-                vrow = noderow[0, v]
-                pid = _extract_lane(vrow, LN_PRED + p, NR_LANE)
-                hps, prs, valid = _qrow(True, pid)
-                q = jnp.maximum(
-                    q, hps * 65536 + (((31 - p) << RANK_BITS) | prs))
-                return q, anyv | valid
+            # deep pred slots: branch past them entirely for chain nodes
+            # (the common case); inside, slots 2..5 are statically unrolled
+            # (masked SMEM reads beat a dynamic-trip loop) and only the
+            # rare 6+ tail loops
+            def deep_preds(qa):
+                q, anyv = qa
+                for p in range(2, min(6, P)):
+                    pid = st[0, R_PRED2 - 2 + p, v]
+                    hps, prs, valid = _qrow(cntv > p, pid)
+                    q = jnp.maximum(
+                        q, hps * 65536 + (((31 - p) << RANK_BITS) | prs))
+                    anyv = anyv | valid
 
-            q, anyv = jax.lax.fori_loop(2, cntv, tail_body, (q, anyv))
+                def tail_body(p, carry):
+                    q, anyv = carry
+                    pid = st[0, R_PRED2 - 2 + p, v]
+                    hps, prs, valid = _qrow(True, pid)
+                    q = jnp.maximum(
+                        q, hps * 65536 + (((31 - p) << RANK_BITS) | prs))
+                    return q, anyv | valid
+
+                if P > 6:
+                    q, anyv = jax.lax.fori_loop(6, cntv, tail_body,
+                                                (q, anyv))
+                return q, anyv
+
+            q, anyv = jax.lax.cond(cntv >= 3, deep_preds, lambda qa: qa,
+                                   (q, anyv))
 
             virt = jnp.where(~anyv, jgapm, NEG)
             q = jnp.maximum(
@@ -464,15 +509,15 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             hit1 = has_tail & (cnt_h >= 2) & \
                 (st[0, R_P1, resolved] == prev_res)
 
-            def scan_body(p, found):
-                hrow = noderow[0, jnp.clip(resolved, 0, N)]
-                pid = _extract_lane(hrow, LN_PRED + p, NR_LANE)
-                return jnp.where((pid == prev_res) & (found < 0), p, found)
-
-            deep0 = jnp.where(has_tail & ~hit0 & ~hit1, jnp.int32(-1),
-                              jnp.int32(-2))
-            deep = jax.lax.fori_loop(2, jnp.where(deep0 == -1, cnt_h, 0),
-                                     scan_body, deep0)
+            # deep-slot scan: statically unrolled masked SMEM reads (no
+            # dynamic-trip loop; prev_res = -1 never matches a slot, so
+            # the has_tail guard is implicit)
+            rsafe = jnp.clip(resolved, 0, N)
+            deep = jnp.int32(-1)
+            for p in range(2, P):
+                pid = st[0, R_PRED2 - 2 + p, rsafe]
+                deep = jnp.where((p < cnt_h) & (pid == prev_res)
+                                 & (deep < 0), p, deep)
             slot = jnp.where(hit0, 0, jnp.where(hit1, 1,
                              jnp.where(deep >= 0, deep, -1)))
             overflow_p = act & has_tail & (slot < 0) & (cnt_h >= P)
@@ -539,7 +584,7 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
         n_nodes2 = jnp.where(ok, nn0 + n_new, nn0)
 
         # ---- phase 5: merge re-rank into scratch, then copy back --------- #
-        # The stable two-stream merge (see fused_step.py docstring for the
+        # The stable two-stream merge (see the module docstring for the
         # correctness argument) reads the old order/col while producing the
         # new ranking, so it targets the tmp_ord/tmp_col scratch; rank is
         # node-indexed (write-only here) and updates in place.
@@ -612,9 +657,11 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
 
                 @pl.when(new_slot >= 2)
                 def _():
+                    st[0, jnp.clip(R_PRED2 - 2 + new_slot, 0,
+                                   R_PRED2 + P - 3), head] = tail
                     hrow = noderow[0, jnp.clip(head, 0, N)]
-                    h2 = jnp.where(lane1 == LN_PRED + new_slot, tail, hrow)
-                    h2 = jnp.where(lane1 == LN_PREDW + new_slot, h2 + w, h2)
+                    h2 = jnp.where(lane1 == LN_PREDW + new_slot, hrow + w,
+                                   hrow)
                     noderow[0, jnp.clip(head, 0, N)] = h2
 
                 cnt_h2 = cnt_h + jnp.where(slot < 0, 1, 0)
@@ -677,8 +724,8 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
     metas:        [D, B, 8] i32 (begin, end, full, length, active, 0, 0, 0)
     seq_t/wts_t:  [D, B, sub_l, 128] i32 shifted layer codes/weights
 
-    Returns (state, noderow): state [B, S_ROWS, N+1] i32 packed scalar
-    table, noderow [B, N+1, 1, 32] i32 pred-overflow rows.
+    Returns (state, noderow): state [B, s_rows(p_cap), N+1] i32 packed
+    scalar table, noderow [B, N+1, 1, 32] i32 pred-overflow weight rows.
     """
     D, B = metas.shape[0], metas.shape[1]
     N = n_cap
@@ -710,13 +757,13 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
             smem_d(LP), smem_d(LP),                       # seq_s wts_s
         ],
         out_specs=[
-            pl.BlockSpec((1, S_ROWS, Np1), lambda b, d: (b, 0, 0),
+            pl.BlockSpec((1, s_rows(p_cap), Np1), lambda b, d: (b, 0, 0),
                          memory_space=pltpu.SMEM),        # state
             pl.BlockSpec((1, Np1, 1, NR_LANE), lambda b, d: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # noderow
         ],
         out_shape=[
-            sds((B, S_ROWS, Np1), jnp.int32),
+            sds((B, s_rows(p_cap), Np1), jnp.int32),
             sds((B, Np1, 1, NR_LANE), jnp.int32),
         ],
         scratch_shapes=[
@@ -742,13 +789,13 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
 @functools.partial(jax.jit, static_argnames=("p_cap",))
 def pack_for_download_chunk(state, noderow, p_cap: int):
     """Downcast the chunk result for host download (the device tunnel is
-    bandwidth-limited); layout matches fused_step.pack_for_download_fused."""
+    bandwidth-limited)."""
     P = p_cap
     LN_PRED, LN_PREDW = _lane_layout(P)
     rows = noderow[:, :, 0, :]                             # [B, N+1, 32]
-    pred = rows[:, :, LN_PRED:LN_PRED + P]
-    pred = pred.at[:, :, 0].set(state[:, R_P0, :])
-    pred = pred.at[:, :, 1].set(state[:, R_P1, :])
+    pred = jnp.stack([state[:, R_P0, :], state[:, R_P1, :]]
+                     + [state[:, R_PRED2 + k, :] for k in range(P - 2)],
+                     axis=2)                               # [B, N+1, P]
     pred_w = rows[:, :, LN_PREDW:LN_PREDW + P]
     pred_w = pred_w.at[:, :, 0].set(state[:, R_PW0, :])
     pred_w = pred_w.at[:, :, 1].set(state[:, R_PW1, :])
@@ -782,9 +829,9 @@ def unpack_chunk_state(state, noderow, p_cap: int):
     node_ok = node_ar < n[:, None]
     rank_ok = node_ar < n[:, None]
 
-    pred = rows[:, :, LN_PRED:LN_PRED + P]
-    pred = pred.at[:, :, 0].set(state[:, R_P0, :])
-    pred = pred.at[:, :, 1].set(state[:, R_P1, :])
+    pred = jnp.stack([state[:, R_P0, :], state[:, R_P1, :]]
+                     + [state[:, R_PRED2 + k, :] for k in range(P - 2)],
+                     axis=2)                               # [B, N+1, P]
     pred_w = rows[:, :, LN_PREDW:LN_PREDW + P]
     pred_w = pred_w.at[:, :, 0].set(state[:, R_PW0, :])
     pred_w = pred_w.at[:, :, 1].set(state[:, R_PW1, :])

@@ -214,7 +214,7 @@ class POAGraph:
                 # keys are even multiples of KEY_SCALE, so an interpolated
                 # key can never collide with an existing column's key (a
                 # collision would merge/reorder columns differently across
-                # the engines -- see fused_step.py merge correctness note)
+                # the engines -- see fused_chunk.py merge correctness note)
                 key = (run_lo
                        + (run_hi - run_lo) * (run_m + 1) // (run_k + 1)) | 1
                 run_m += 1

@@ -76,6 +76,9 @@ def main(argv=None) -> int:
                         "scripts/racon_wrapper.py:86-148)")
     args = p.parse_args(argv)
 
+    from racon_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed()
+
     work_directory = os.path.join(
         os.getcwd(), f"racon_tpu_work_directory_{time.time()}")
     os.makedirs(work_directory, exist_ok=True)

@@ -11,7 +11,7 @@ import numpy as np
 from racon_tpu.poa import engine as E
 from racon_tpu.poa import fused_chunk as FC
 from tests.test_fused_chunk import build_chunk_inputs
-from tests.test_fused_step import normalize, random_problem
+from tests.test_fused_chunk import normalize, random_problem
 
 B, L0, L, N, P = 32, 500, 640, 1792, 12
 D = 22

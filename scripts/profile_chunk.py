@@ -15,7 +15,7 @@ import numpy as np
 from racon_tpu.poa import engine as E
 from racon_tpu.poa import fused_chunk as FC
 from tests.test_fused_chunk import build_chunk_inputs
-from tests.test_fused_step import assert_states_equal, random_problem
+from tests.test_fused_chunk import assert_states_equal, random_problem
 
 B, L0, L, N, P = 32, 500, 640, 1792, 12
 D = int(sys.argv[1]) if len(sys.argv) > 1 else 22
@@ -46,36 +46,6 @@ def run():
                            p_cap=P, sub_l=SUB_L, match=3, mismatch=-5,
                            gap=-4, t_cap=T_CAP)
 
-
-if "--v1" in sys.argv:
-    # same workload through the per-layer kernel (fused_step), driven the
-    # way batched.py drives it (one call per layer, stacked uploads)
-    from racon_tpu.poa import fused_step as F
-    fs = F.init_fused(bbj, bwj, blj, N, P)
-    m4 = np.asarray(metas).reshape(D, B, 1, 8)
-    seq_t1, wts_t1 = F.pack_layer_tiles(
-        np.stack([np.asarray(l.seq) for l in layers]),
-        np.stack([np.asarray(l.weights) for l in layers]))
-    m4j, s1, w1 = jnp.asarray(m4), jnp.asarray(seq_t1), jnp.asarray(wts_t1)
-
-    def run_v1(fs):
-        for d in range(D):
-            fs = F.fused_layer_step_at(fs, m4j, s1, w1, d, p_cap=P, match=3,
-                                       mismatch=-5, gap=-4, t_cap=T_CAP)
-        return fs
-    t0 = time.time()
-    fs = run_v1(fs)
-    jax.block_until_ready(fs.nn)
-    print(f"v1 compile+run: {time.time() - t0:.1f} s")
-    reps = 4
-    t0 = time.time()
-    for _ in range(reps):
-        fs = F.init_fused(bbj, bwj, blj, N, P)
-        fs = run_v1(fs)
-    _ = np.asarray(fs.nn[:, 0, :])
-    dt = (time.time() - t0) / reps
-    print(f"v1: {dt * 1e3:8.2f} ms total, {dt / D * 1e3:8.3f} ms/layer-step")
-    sys.exit(0)
 
 t0 = time.time()
 st, nr = run()

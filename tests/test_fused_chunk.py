@@ -14,8 +14,100 @@ import pytest
 
 from racon_tpu.poa import engine as E
 from racon_tpu.poa import fused_chunk as FC
-from tests.test_fused_step import (assert_states_equal, normalize,
-                                   random_problem)
+
+
+
+def normalize(s: E.GraphState) -> E.GraphState:
+    """Mask sentinel/garbage entries so engine and fused states compare."""
+    B, Np1, P = s.pred.shape
+    N = Np1 - 1
+    node_ar = jnp.arange(Np1, dtype=jnp.int32)[None, :]
+    node_ok = node_ar < s.n_nodes[:, None]
+    rank_ar = jnp.arange(N, dtype=jnp.int32)[None, :]
+    rank_ok = rank_ar < s.n_nodes[:, None]
+    return E.GraphState(
+        codes=jnp.where(node_ok, s.codes, E.PAD_CODE),
+        key=jnp.where(node_ok, s.key, 2 ** 30),
+        pred=jnp.where(node_ok[:, :, None], s.pred, N),
+        pred_w=jnp.where(node_ok[:, :, None], s.pred_w, 0),
+        pred_cnt=jnp.where(node_ok, s.pred_cnt, 0),
+        cov=jnp.where(node_ok, s.cov, 0),
+        rep=jnp.where(node_ok, s.rep, N),
+        letter_node=jnp.where(node_ok[:, :, None], s.letter_node, -1),
+        order=jnp.where(rank_ok, s.order, N),
+        rank=jnp.where(node_ok, s.rank, 2 ** 30),
+        n_nodes=s.n_nodes,
+        failed=s.failed)
+
+
+def assert_states_equal(got: E.GraphState, want: E.GraphState, d: int):
+    got, want = normalize(got), normalize(want)
+    np.testing.assert_array_equal(np.asarray(got.failed),
+                                  np.asarray(want.failed),
+                                  err_msg=f"failed@layer{d}")
+    ok = ~np.asarray(want.failed)
+    for f in want._fields:
+        g, w = np.asarray(getattr(got, f)), np.asarray(getattr(want, f))
+        np.testing.assert_array_equal(
+            g[ok], w[ok], err_msg=f"{f}@layer{d}")
+
+
+def random_problem(B, L0, L, D, N, P, seed, partial=True):
+    rng = np.random.RandomState(seed)
+    backbone = rng.randint(0, 4, size=(B, L0)).astype(np.int32)
+    backbone_len = rng.randint(max(4, L0 - 8), L0 + 1, size=B).astype(np.int32)
+    backbone_w = rng.randint(1, 50, size=(B, L0)).astype(np.int32)
+    for b in range(B):
+        backbone[b, backbone_len[b]:] = E.PAD_CODE
+        backbone_w[b, backbone_len[b]:] = 0
+    state = E.init_graphs(jnp.asarray(backbone), jnp.asarray(backbone_w),
+                          jnp.asarray(backbone_len), N, P)
+
+    layers = []
+    for d in range(D):
+        seq = np.full((B, L), E.PAD_CODE, np.int32)
+        wts = np.zeros((B, L), np.int32)
+        length = np.zeros(B, np.int32)
+        begin = np.zeros(B, np.int32)
+        end = np.zeros(B, np.int32)
+        fullf = np.zeros(B, bool)
+        active = np.zeros(B, bool)
+        for b in range(B):
+            if rng.rand() < 0.15:          # inactive slot
+                continue
+            active[b] = True
+            bl = int(backbone_len[b])
+            if partial and rng.rand() < 0.5:
+                bg = rng.randint(0, bl // 2)
+                en = rng.randint(bg + 2, bl)
+            else:
+                bg, en = 0, bl - 1
+                fullf[b] = True
+            # mutate a slice of the backbone into a read segment
+            base = backbone[b, bg:en + 1].copy()
+            out = []
+            for ch in base:
+                r = rng.rand()
+                if r < 0.10:
+                    out.append(rng.randint(0, 4))      # substitution
+                elif r < 0.15:
+                    out.append(int(ch)); out.append(rng.randint(0, 4))
+                elif r < 0.20:
+                    pass                                # deletion
+                else:
+                    out.append(int(ch))
+            out = (out or [0])[:L]
+            seq[b, :len(out)] = out
+            wts[b, :len(out)] = rng.randint(1, 40, size=len(out))
+            length[b] = len(out)
+            begin[b] = bg
+            end[b] = en
+        layers.append(E.LayerBatch(
+            seq=jnp.asarray(seq), weights=jnp.asarray(wts),
+            length=jnp.asarray(length), begin=jnp.asarray(begin),
+            end=jnp.asarray(end), full=jnp.asarray(fullf),
+            active=jnp.asarray(active)))
+    return state, layers
 
 
 def build_chunk_inputs(layers, sub_l):
