@@ -231,6 +231,21 @@ class Overlap:
         self.cigar = b""
 
     def _find_breaking_points_from_cigar(self, window_length: int) -> None:
+        """CIGAR -> breaking points; the native C++ walker is the hot path
+        (rtlib.rt_breaking_points, per-base loops in C), with the Python
+        re-expression below as the no-compiler fallback and the parity
+        reference for tests."""
+        try:
+            from racon_tpu.native import rtlib
+            self.breaking_points.extend(rtlib.breaking_points(
+                bytes(self.cigar), self.t_begin, self.t_end, self.q_begin,
+                self.q_end, self.q_length, self.strand, window_length))
+            return
+        except ImportError:  # pragma: no cover - no compiler available
+            pass
+        self._find_breaking_points_from_cigar_py(window_length)
+
+    def _find_breaking_points_from_cigar_py(self, window_length: int) -> None:
         """Exact re-expression of the reference walker
         (reference: src/overlap.cpp:226-292).
 

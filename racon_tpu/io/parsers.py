@@ -224,6 +224,51 @@ def parse_sam(path: str) -> List[Overlap]:
     return out
 
 
+def _overlap_fmt(path: str) -> str:
+    if path.endswith((".mhap", ".mhap.gz")):
+        return "mhap"
+    if path.endswith((".paf", ".paf.gz")):
+        return "paf"
+    if path.endswith((".sam", ".sam.gz")):
+        return "sam"
+    raise RuntimeError(
+        f"[racon_tpu::parse_overlaps] error: file {path} has unsupported "
+        f"format extension (valid extensions: .mhap, .mhap.gz, .paf, "
+        f".paf.gz, .sam, .sam.gz)!")
+
+
+def _records_to_overlaps(recs, fmt: str) -> List[Overlap]:
+    if fmt == "mhap":
+        return [Overlap.from_mhap(a_id=r[0], b_id=r[1], a_rc=r[2],
+                                  a_begin=r[3], a_end=r[4], a_length=r[5],
+                                  b_rc=r[6], b_begin=r[7], b_end=r[8],
+                                  b_length=r[9]) for r in recs]
+    if fmt == "paf":
+        return [Overlap.from_paf(q_name=r[0], q_length=r[3], q_begin=r[4],
+                                 q_end=r[5], orientation=r[2], t_name=r[1],
+                                 t_length=r[6], t_begin=r[7], t_end=r[8])
+                for r in recs]
+    return [Overlap.from_sam(q_name=r[0], flag=r[1], t_name=r[2],
+                             t_pos=r[3], cigar=r[4]) for r in recs]
+
+
+def iter_overlap_chunks(path: str, chunk_bytes: int = 1 << 30):
+    """Yield lists of Overlap records parsed from at most ``chunk_bytes``
+    of file text each — the reference's 1 GiB chunked overlap ingest
+    (src/polisher.cpp:311-349), so transmute/filter interleave with
+    parsing and peak memory stays bounded at genome scale.  Falls back to
+    a single whole-file chunk without the native runtime."""
+    fmt = _overlap_fmt(path)
+    try:
+        from racon_tpu.native import rtlib
+        stream = rtlib.stream_overlaps_raw(path, fmt, chunk_bytes)
+    except Exception:
+        yield parse_overlaps(path)
+        return
+    for recs in stream:
+        yield _records_to_overlaps(recs, fmt)
+
+
 def parse_overlaps(path: str) -> List[Overlap]:
     if path.endswith((".mhap", ".mhap.gz")):
         return parse_mhap(path)

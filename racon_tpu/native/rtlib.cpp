@@ -991,6 +991,84 @@ void rt_result_free(void* handle) {
   delete static_cast<BatchResult*>(handle);
 }
 
+// Breaking-point extraction from a CIGAR: walk (t, q) coordinates and
+// record the (t, q) pairs of the first match and one-past-the-last match
+// inside every window span (exact reference semantics,
+// src/overlap.cpp:226-292; mirrors the Python walker in
+// racon_tpu/core/overlap.py).  out receives flattened (t, q) pairs;
+// returns the number of int64 values written, or -1 if out_cap is too
+// small.
+int64_t rt_breaking_points(const char* cigar, int64_t cigar_len,
+                           int64_t t_begin, int64_t t_end, int64_t q_begin,
+                           int64_t q_end, int64_t q_length, int strand,
+                           int64_t window_length, int64_t* out,
+                           int64_t out_cap) {
+  // window end positions on the target (inclusive)
+  std::vector<int64_t> window_ends;
+  for (int64_t i = 0; i < t_end; i += window_length) {
+    if (i > t_begin) window_ends.push_back(i - 1);
+  }
+  window_ends.push_back(t_end - 1);
+
+  size_t w = 0;
+  bool found_first = false;
+  int64_t first_t = 0, first_q = 0, last_t = 0, last_q = 0;
+  int64_t q_ptr = (strand ? q_length - q_end : q_begin) - 1;
+  int64_t t_ptr = t_begin - 1;
+  int64_t n_out = 0;
+
+  auto close_window = [&]() -> bool {
+    if (found_first) {
+      if (n_out + 4 > out_cap) return false;
+      out[n_out++] = first_t;
+      out[n_out++] = first_q;
+      out[n_out++] = last_t;
+      out[n_out++] = last_q;
+    }
+    found_first = false;
+    ++w;
+    return true;
+  };
+
+  int64_t i = 0;
+  while (i < cigar_len) {
+    int64_t n = 0;
+    while (i < cigar_len && cigar[i] >= '0' && cigar[i] <= '9') {
+      n = n * 10 + (cigar[i] - '0');
+      ++i;
+    }
+    if (i >= cigar_len) break;
+    const char op = cigar[i++];
+    if (op == 'M' || op == '=' || op == 'X') {
+      for (int64_t k = 0; k < n; ++k) {
+        ++q_ptr;
+        ++t_ptr;
+        if (!found_first) {
+          found_first = true;
+          first_t = t_ptr;
+          first_q = q_ptr;
+        }
+        last_t = t_ptr + 1;
+        last_q = q_ptr + 1;
+        if (w < window_ends.size() && t_ptr == window_ends[w]) {
+          if (!close_window()) return -1;
+        }
+      }
+    } else if (op == 'I') {
+      q_ptr += n;
+    } else if (op == 'D' || op == 'N') {
+      for (int64_t k = 0; k < n; ++k) {
+        ++t_ptr;
+        if (w < window_ends.size() && t_ptr == window_ends[w]) {
+          if (!close_window()) return -1;
+        }
+      }
+    }
+    // S/H/P: no coordinate movement (clips folded into q_begin upstream)
+  }
+  return n_out;
+}
+
 int64_t rt_edit_distance(const uint8_t* q, int64_t n, const uint8_t* t,
                          int64_t m) {
   return myers_edit_distance(q, n, t, m);
@@ -1403,23 +1481,22 @@ void put_i64(std::string* s, int64_t v) {
 }  // namespace
 
 // fmt: 0 = MHAP, 1 = PAF, 2 = SAM
-extern "C" void* rt_parse_overlaps(const char* path, int fmt, int* error) {
-  *error = 0;
-  std::string buf;
-  if (!read_whole_file(path, &buf)) {
-    *error = 1;
-    return nullptr;
-  }
-  auto* result = new BatchResult();
-  const char* p = buf.data();
-  const char* end = p + buf.size();
+namespace {
+
+// Parse complete overlap lines in [p, end) into result; returns the
+// position after the last line consumed (lines are only consumed when
+// fully contained, unless final == true).
+const char* parse_overlap_lines(const char* p, const char* end, int fmt,
+                                bool final, BatchResult* result) {
   Field f[16];
   std::string item;
-
   while (p < end) {
     const char* le;
     const char* next = next_line(p, end, &le);
     const char* lb = p;
+    if (!final && next == end && (end == le || end[-1] != '\n')) {
+      return lb;   // possibly truncated final line; wait for more data
+    }
     p = next;
     if (le == lb) continue;
     if (fmt == 2 && *lb == '@') continue;      // SAM header
@@ -1461,6 +1538,21 @@ extern "C" void* rt_parse_overlaps(const char* path, int fmt, int* error) {
     result->items.push_back(item);
     result->flags.push_back(1);
   }
+  return p;
+}
+
+}  // namespace
+
+extern "C" void* rt_parse_overlaps(const char* path, int fmt, int* error) {
+  *error = 0;
+  std::string buf;
+  if (!read_whole_file(path, &buf)) {
+    *error = 1;
+    return nullptr;
+  }
+  auto* result = new BatchResult();
+  parse_overlap_lines(buf.data(), buf.data() + buf.size(), fmt, true,
+                      result);
   return result;
 }
 
@@ -1498,6 +1590,50 @@ bool stream_fill(SeqStream* s, size_t want) {
 }
 
 }  // namespace
+
+// Streaming overlap reader: same 1 GiB-chunk contract as the sequence
+// stream (reference interleaves overlap parsing with transmute/filter,
+// src/polisher.cpp:311-349).
+extern "C" void* rt_open_ovl_stream(const char* path) {
+  gzFile f = gzopen(path, "rb");
+  if (f == nullptr) return nullptr;
+  gzbuffer(f, 1 << 20);
+  auto* s = new SeqStream();
+  s->f = f;
+  return s;
+}
+
+extern "C" void rt_close_ovl_stream(void* handle) {
+  auto* s = static_cast<SeqStream*>(handle);
+  if (s->f != nullptr) gzclose(s->f);
+  delete s;
+}
+
+// Returns a BatchResult of packed overlap records parsed from at most
+// ~max_bytes of file text, or an empty result at end of stream.
+extern "C" void* rt_ovl_stream_next(void* handle, int64_t max_bytes,
+                                    int fmt, int* error) {
+  *error = 0;
+  auto* s = static_cast<SeqStream*>(handle);
+  if (!stream_fill(s, static_cast<size_t>(max_bytes))) {
+    *error = 1;
+    return nullptr;
+  }
+  auto* result = new BatchResult();
+  const char* begin = s->carry.data();
+  const size_t window = std::min(s->carry.size(),
+                                 static_cast<size_t>(max_bytes));
+  const char* end = begin + window;
+  const bool final = s->eof && window == s->carry.size();
+  const char* consumed = parse_overlap_lines(begin, end, fmt, final, result);
+  if (consumed == begin && window < s->carry.size()) {
+    // a single line longer than max_bytes: consume it whole
+    consumed = parse_overlap_lines(begin, begin + s->carry.size(), fmt,
+                                   s->eof, result);
+  }
+  s->carry.erase(0, static_cast<size_t>(consumed - begin));
+  return result;
+}
 
 extern "C" void* rt_open_seq_stream(const char* path, int is_fastq) {
   gzFile f = gzopen(path, "rb");

@@ -18,6 +18,13 @@ _lib.rt_align_batch.argtypes = [
     ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
     ctypes.c_int64, ctypes.c_int, ctypes.c_int,
 ]
+_lib.rt_breaking_points.restype = ctypes.c_int64
+_lib.rt_breaking_points.argtypes = [
+    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+    ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+]
+
 _lib.rt_result_len.restype = ctypes.c_int64
 _lib.rt_result_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
 _lib.rt_result_get.restype = None
@@ -168,19 +175,9 @@ _lib.rt_parse_overlaps.argtypes = [ctypes.c_char_p, ctypes.c_int,
 _FMT = {"mhap": 0, "paf": 1, "sam": 2}
 
 
-def parse_overlaps_raw(path: str, fmt: str):
-    """Parse a (optionally gzipped) MHAP/PAF/SAM file in C++.
-
-    Returns a list of per-format tuples (see rtlib.cpp record layouts)."""
+def _decode_overlap_result(handle, fmt):
     import struct
 
-    err = ctypes.c_int(0)
-    handle = _lib.rt_parse_overlaps(path.encode(), _FMT[fmt],
-                                    ctypes.byref(err))
-    if not handle:
-        raise RuntimeError(
-            f"[racon_tpu::rtlib] error: unable to parse {path} "
-            f"(code {err.value})")
     out = []
     try:
         for i in range(_lib.rt_result_count(handle)):
@@ -215,6 +212,55 @@ def parse_overlaps_raw(path: str, fmt: str):
     finally:
         _lib.rt_result_free(handle)
     return out
+
+
+def parse_overlaps_raw(path: str, fmt: str):
+    """Parse a (optionally gzipped) MHAP/PAF/SAM file in C++.
+
+    Returns a list of per-format tuples (see rtlib.cpp record layouts)."""
+    err = ctypes.c_int(0)
+    handle = _lib.rt_parse_overlaps(path.encode(), _FMT[fmt],
+                                    ctypes.byref(err))
+    if not handle:
+        raise RuntimeError(
+            f"[racon_tpu::rtlib] error: unable to parse {path} "
+            f"(code {err.value})")
+    return _decode_overlap_result(handle, fmt)
+
+
+_lib.rt_open_ovl_stream.restype = ctypes.c_void_p
+_lib.rt_open_ovl_stream.argtypes = [ctypes.c_char_p]
+_lib.rt_close_ovl_stream.restype = None
+_lib.rt_close_ovl_stream.argtypes = [ctypes.c_void_p]
+_lib.rt_ovl_stream_next.restype = ctypes.c_void_p
+_lib.rt_ovl_stream_next.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_int)]
+
+
+def stream_overlaps_raw(path: str, fmt: str, chunk_bytes: int = 1 << 30):
+    """Yield lists of per-format overlap tuples parsed from at most
+    ~chunk_bytes of file text per chunk (the reference's 1 GiB overlap
+    ingest, src/polisher.cpp:311-349)."""
+    stream = _lib.rt_open_ovl_stream(path.encode())
+    if not stream:
+        raise RuntimeError(
+            f"[racon_tpu::rtlib] error: unable to open {path}")
+    try:
+        while True:
+            err = ctypes.c_int(0)
+            handle = _lib.rt_ovl_stream_next(stream, chunk_bytes,
+                                             _FMT[fmt], ctypes.byref(err))
+            if not handle:
+                raise RuntimeError(
+                    f"[racon_tpu::rtlib] error: stream read failed for "
+                    f"{path} (code {err.value})")
+            recs = _decode_overlap_result(handle, fmt)
+            if not recs:
+                break
+            yield recs
+    finally:
+        _lib.rt_close_ovl_stream(stream)
 
 
 _lib.rt_open_seq_stream.restype = ctypes.c_void_p
@@ -357,3 +403,19 @@ class NativeAligner:
         finally:
             _lib.rt_result_free(handle)
         return out
+
+
+def breaking_points(cigar: bytes, t_begin: int, t_end: int, q_begin: int,
+                    q_end: int, q_length: int, strand: bool,
+                    window_length: int):
+    """Breaking-point pairs from a CIGAR (native walker; exact reference
+    semantics, src/overlap.cpp:226-292).  Returns a list of (t, q) tuples.
+    """
+    cap = 4 * (t_end // max(window_length, 1) + 3)
+    buf = (ctypes.c_int64 * cap)()
+    n = _lib.rt_breaking_points(cigar, len(cigar), t_begin, t_end, q_begin,
+                                q_end, q_length, 1 if strand else 0,
+                                window_length, buf, cap)
+    if n < 0:  # pragma: no cover - capacity formula covers all windows
+        raise RuntimeError("breaking-point buffer overflow")
+    return [(buf[i], buf[i + 1]) for i in range(0, n, 2)]

@@ -151,14 +151,11 @@ class Polisher:
                        else WindowType.TGS)
         self.logger.log("[racon_tpu::Polisher.initialize] loaded sequences")
 
-        # overlaps: transmute + filters (reference: src/polisher.cpp:283-351)
-        raw = parsers.parse_overlaps(self.overlaps_path)
-        valid: List[Overlap] = []
-        for o in raw:
-            o.transmute(self.sequences, name_to_id, id_to_id)
-            if o.is_valid:
-                valid.append(o)
-
+        # overlaps in 1 GiB chunks, transmute/filter interleaved with
+        # parsing so raw records never accumulate (reference:
+        # src/polisher.cpp:311-349); the kC longest-per-query dedup run
+        # stays open across chunk boundaries exactly like the reference's
+        # remove_invalid_overlaps calls per chunk
         overlaps: List[Overlap] = []
         run: List[Overlap] = []
 
@@ -178,11 +175,15 @@ class Polisher:
             else:
                 overlaps.extend(kept)
 
-        for o in valid:
-            if run and run[-1].q_id != o.q_id:
-                flush_run()
-                run = []
-            run.append(o)
+        for chunk in parsers.iter_overlap_chunks(self.overlaps_path):
+            for o in chunk:
+                o.transmute(self.sequences, name_to_id, id_to_id)
+                if not o.is_valid:
+                    continue
+                if run and run[-1].q_id != o.q_id:
+                    flush_run()
+                    run = []
+                run.append(o)
         flush_run()
 
         if not overlaps:
@@ -377,6 +378,9 @@ class Polisher:
                 polished_data = bytearray()
 
         self.logger.log("[racon_tpu::Polisher.polish] generated consensus")
+        # cumulative wall time over every logged phase, printed at the end
+        # of the run (reference: ~Polisher, src/polisher.cpp:186-188)
+        self.logger.total("[racon_tpu::Polisher.] total =")
         self.windows = []
         self.sequences = []
         return dst

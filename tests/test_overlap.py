@@ -83,3 +83,53 @@ def test_transmute_length_mismatch_raises():
     o = Overlap.from_paf("q", 4, 0, 4, "+", "t", 4, 0, 4)
     with pytest.raises(LengthMismatchError):
         o.transmute(seqs, {"qq": 1, "tt": 0}, {})
+
+
+def test_native_walker_matches_python():
+    """The C++ breaking-point walker is byte-exact vs the Python
+    re-expression of src/overlap.cpp:226-292, across random CIGARs,
+    strands, and window lengths."""
+    import random
+
+    pytest.importorskip("racon_tpu.native.rtlib")
+    from racon_tpu.core.overlap import Overlap
+
+    rng = random.Random(13)
+    for trial in range(200):
+        t_len = rng.randint(20, 800)
+        t_begin = rng.randint(0, max(0, t_len - 10))
+        # build a CIGAR consuming the t span and a matching q span
+        t_span = rng.randint(5, t_len - t_begin)
+        ops = []
+        tc = qc = 0
+        while tc < t_span:
+            op = rng.choice("MMMMIDX=N")
+            n = rng.randint(1, min(9, t_span - tc) if op != "I" else 9)
+            ops.append(f"{n}{op}")
+            if op in "M=XDN":
+                tc += n
+            if op in "M=XI":
+                qc += n
+        q_begin = rng.randint(0, 50)
+        q_len = q_begin + qc + rng.randint(0, 30)
+        strand = rng.random() < 0.5
+        w = rng.choice([7, 50, 100, 500])
+
+        def make(cls_use_py):
+            o = Overlap.__new__(Overlap)
+            o.q_id = 0
+            o.t_id = 1
+            o.q_begin, o.q_end, o.q_length = q_begin, q_begin + qc, q_len
+            o.t_begin, o.t_end = t_begin, t_begin + t_span
+            o.strand = strand
+            o.cigar = "".join(ops).encode()
+            o.breaking_points = []
+            if cls_use_py:
+                o._find_breaking_points_from_cigar_py(w)
+            else:
+                o._find_breaking_points_from_cigar(w)
+            return o.breaking_points
+
+        native = make(False)
+        py = make(True)
+        assert native == py, (trial, "".join(ops), t_begin, t_span, w)
