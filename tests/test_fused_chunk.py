@@ -194,3 +194,83 @@ class TestFusedChunkParity:
         # sub_l = 1 (single 128-lane row)
         run_parity(B=2, L0=24, L=64, D=4, N=96, P=8, seed=5,
                    every_prefix=False)
+
+
+def test_wide_rank_packing_parity():
+    """Node capacities beyond the old 11-bit rank-payload limit (N > 2046)
+    are bit-identical to the engine (the traceback re-derives predecessors
+    from slot codes, so N is bounded only by on-chip memory)."""
+    B, L0, L, D, N, P = 2, 48, 96, 4, 2100, 6
+    state0, layers = random_problem(B, L0, L, D, N, P, seed=21)
+    codes0 = np.asarray(state0.codes)
+    blen = np.asarray(state0.n_nodes)
+    bb = codes0[:, :L0].astype(np.int32)
+    rng = np.random.RandomState(77)
+    bw = rng.randint(1, 50, size=(B, L0)).astype(np.int32)
+    for b in range(B):
+        bb[b, blen[b]:] = E.PAD_CODE
+        bw[b, blen[b]:] = 0
+    ref = E.init_graphs(jnp.asarray(bb), jnp.asarray(bw), jnp.asarray(blen),
+                        N, P)
+    for layer in layers:
+        ref = E.add_layer(ref, layer, 3, -5, -4, N + L)
+    sub_l = 1
+    metas, seq_t, wts_t = build_chunk_inputs(layers, sub_l)
+    st, nr = FC.polish_chunk(
+        jnp.asarray(bb), jnp.asarray(bw), jnp.asarray(blen), metas, seq_t,
+        wts_t, n_cap=N, p_cap=P, sub_l=sub_l, match=3, mismatch=-5, gap=-4,
+        t_cap=N + L, interpret=True)
+    got = FC.unpack_chunk_state(st, nr, P)
+    assert_states_equal(got, ref, D - 1)
+
+
+def test_saturation_fails_to_host():
+    """Scores reaching SAT_FLOOR fail the window on-device (the 16-bit
+    packed field would wrap); the engine reference keeps exact int32
+    scores, so the batched scheduler must reroute such windows to the
+    host oracle and still produce the oracle's answer."""
+    import random
+
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    from racon_tpu.poa.consensus import consensus_window
+    from tests.test_engine import make_window
+
+    rng = random.Random(5)
+    w, _ = make_window(rng, length=420, depth=4, with_quality=False,
+                       partial=False)
+    # a hostile scoring config: gap -64 drives garbage paths past the
+    # saturation floor on long windows
+    import racon_tpu.poa.fused_chunk as F
+
+    class Probe:
+        pass
+
+    engine = BatchedPOAEngine(2, -60, -64, batch_size=1, mode="fused")
+    import unittest.mock as mock
+    with mock.patch.object(F, "INTERPRET", True):
+        got = engine.polish_windows([w], trim=False)
+    ref = consensus_window(w, 2, -60, -64, trim=False)
+    assert got[0] == ref
+
+
+class TestFusedChunkEngine:
+    def test_engine_fused_matches_oracle(self, monkeypatch):
+        """End-to-end through the batched scheduler in fused mode."""
+        import random
+
+        from racon_tpu.poa.batched import BatchedPOAEngine
+        from racon_tpu.poa.consensus import consensus_window
+        from tests.test_engine import make_window
+
+        monkeypatch.setattr(FC, "INTERPRET", True)
+        rng = random.Random(11)
+        windows = [make_window(rng, length=100, depth=6, with_quality=True,
+                               partial=True)[0] for _ in range(4)]
+        engine = BatchedPOAEngine(3, -5, -4, batch_size=4, mode="fused")
+        got = engine.polish_windows(windows, trim=False)
+        assert engine.stats["fallback"] == 0, "device flagged failures"
+        for w, (cons, polished) in zip(windows, got):
+            ref_cons, ref_polished = consensus_window(w, 3, -5, -4,
+                                                      trim=False)
+            assert polished == ref_polished
+            assert cons == ref_cons

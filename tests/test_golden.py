@@ -88,7 +88,10 @@ def test_consensus_larger_window():
     dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz",
                      window_length=1000)
     ed = ed_vs_truth(dst[0])
-    assert ed <= 1289 * 1.08   # reference golden 1289
+    # measured 1333 on both the host and fused-TPU paths (the fused
+    # kernel handles w=1000 graphs up to its VMEM-bounded node capacity;
+    # deeper windows fall back to the bit-identical host oracle)
+    assert ed <= 1289 * 1.05   # reference golden 1289
 
 
 @needs_data
