@@ -49,9 +49,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SUB = 8
+SUB = 8                   # default band sublanes
 LANE = 128
-W = SUB * LANE            # band width (offsets per anti-diagonal)
+W_DEF = SUB * LANE        # default band width (offsets per anti-diagonal)
 INF = 1 << 20
 Q_PAD = 254               # padding codes: never equal
 T_PAD = 255
@@ -65,44 +65,46 @@ NC_CAP = (LQ_CAP + LT_CAP) // S_CAP   # max captures per pair
 INTERPRET = False
 
 
-def _iota2():
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
-    return sub * LANE + lane
+def _iota2(sub: int = SUB):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 0)
+    return sl * LANE + lane
 
 
-def _shr(x, fill):
-    """x'[o] = x[o-1] in the packed (8,128) layout; x'[0] = fill."""
+def _shr(x, fill, sub: int = SUB):
+    """x'[o] = x[o-1] in the packed (sub,128) layout; x'[0] = fill."""
     a = pltpu.roll(x, 1, axis=1)
     b = pltpu.roll(a, 1, axis=0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 0)
     out = jnp.where(lane == 0, b, a)
-    return jnp.where((lane == 0) & (sub == 0), fill, out)
+    return jnp.where((lane == 0) & (sl == 0), fill, out)
 
 
-def _shl(x, fill):
+def _shl(x, fill, sub: int = SUB):
     """x'[o] = x[o+1]; x'[W-1] = fill."""
     a = pltpu.roll(x, LANE - 1, axis=1)
-    b = pltpu.roll(a, SUB - 1, axis=0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+    b = pltpu.roll(a, sub - 1, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 0)
     out = jnp.where(lane == LANE - 1, b, a)
-    return jnp.where((lane == LANE - 1) & (sub == SUB - 1), fill, out)
+    return jnp.where((lane == LANE - 1) & (sl == sub - 1), fill, out)
 
 
-def _insert(tile, pos, value):
+def _insert(tile, pos, value, sub: int = SUB):
     """tile with tile[pos] = value (packed index)."""
-    return jnp.where(_iota2() == pos, value, tile)
+    return jnp.where(_iota2(sub) == pos, value, tile)
 
 
-def make_align_kernel(S: int, NC: int):
+def make_align_kernel(S: int, NC: int, sub: int = SUB):
     """Banded wavefront kernel: one pair per grid step.
 
     meta: (n, m, active, phase0, phase1) — a capture fires when
     a % S equals phase0 (slot 2c) or phase1 (slot 2c+1), c = a // S.
     Outputs: ed (final distance), cap tiles + per-capture band base.
     """
+
+    W = sub * LANE
 
     def kernel(meta_ref, q_sm, t_sm, qv_ref,
                ed_out, caps, cap_base):
@@ -111,16 +113,16 @@ def make_align_kernel(S: int, NC: int):
         active = meta_ref[0, 0, 2]
         phase0 = meta_ref[0, 0, 3]
         phase1 = meta_ref[0, 0, 4]
-        jidx = _iota2()
+        jidx = _iota2(sub)
 
         total = n + m
 
         # a = 0: D(0,0) = 0 at offset 0, rest INF
         row0 = jnp.where(jidx == 0, 0, INF)
-        inf_t = jnp.full((SUB, LANE), INF, jnp.int32)
+        inf_t = jnp.full((sub, LANE), INF, jnp.int32)
         # q window at a=0 (base 0): QW[o] = q[o-1]
-        qw0 = _shr(qv_ref[0:SUB, 0, 0], jnp.int32(Q_PAD))
-        tw0 = jnp.full((SUB, LANE), T_PAD, jnp.int32)
+        qw0 = _shr(qv_ref[0:sub, 0, 0], jnp.int32(Q_PAD), sub)
+        tw0 = jnp.full((sub, LANE), T_PAD, jnp.int32)
 
         for c in range(2 * NC):
             cap_base[0, 0, c] = jnp.int32(-1)
@@ -144,19 +146,22 @@ def make_align_kernel(S: int, NC: int):
             #   TW[o] = t[a - base - o - 1] (shifts right by 1-s1, at front)
             q_new = q_sm[0, 0, jnp.clip(base + W - 2, 0, LQ_CAP - 1)]
             q_new = jnp.where(base + W - 2 < n, q_new, Q_PAD)
-            qw = jnp.where(s1 == 1, _insert(_shl(qw, Q_PAD), W - 1, q_new),
+            qw = jnp.where(s1 == 1,
+                           _insert(_shl(qw, Q_PAD, sub), W - 1, q_new, sub),
                            qw)
             t_idx = a - base - 1
             t_new = t_sm[0, 0, jnp.clip(t_idx, 0, LT_CAP - 1)]
             t_new = jnp.where((t_idx >= 0) & (t_idx < m), t_new, T_PAD)
-            tw = jnp.where(s1 == 0, _insert(_shr(tw, T_PAD), 0, t_new), tw)
+            tw = jnp.where(s1 == 0,
+                           _insert(_shr(tw, T_PAD, sub), 0, t_new, sub),
+                           tw)
 
             # recurrence inputs (packed source-offset shifts)
-            vert = jnp.where(s1 == 0, _shr(prev, INF), prev)       # D(i-1, j)
-            horiz = jnp.where(s1 == 0, prev, _shl(prev, INF))      # D(i, j-1)
+            vert = jnp.where(s1 == 0, _shr(prev, INF, sub), prev)
+            horiz = jnp.where(s1 == 0, prev, _shl(prev, INF, sub))
             diag = jnp.where(
-                s12 == 0, _shr(prev2, INF),
-                jnp.where(s12 == 1, prev2, _shl(prev2, INF)))      # D(i-1,j-1)
+                s12 == 0, _shr(prev2, INF, sub),
+                jnp.where(s12 == 1, prev2, _shl(prev2, INF, sub)))
 
             sub_cost = jnp.where(qw == tw, 0, 1)
             cur = jnp.minimum(diag + sub_cost,
@@ -176,7 +181,7 @@ def make_align_kernel(S: int, NC: int):
             @pl.when((hit0 | hit1) & (a // S < NC))
             def _():
                 slot = 2 * (a // S) + jnp.where(hit1, 1, 0)
-                caps[pl.ds(slot * SUB, SUB), 0, 0, :] = cur
+                caps[pl.ds(slot * sub, sub), 0, 0, :] = cur
                 cap_base[0, 0, slot] = base
 
             return cur, prev, base_p, base, ci, err, qw, tw
@@ -198,9 +203,10 @@ def make_align_kernel(S: int, NC: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("S", "NC", "interpret"))
+@functools.partial(jax.jit, static_argnames=("S", "NC", "interpret",
+                                             "sub"))
 def wavefront_pass(meta, q_sm, t_sm, qv, S: int = S_CAP, NC: int = NC_CAP,
-                   interpret: bool = False):
+                   interpret: bool = False, sub: int = SUB):
     """Run the banded wavefront over a batch of pairs.
 
     meta: [B, 1, 4] i32 (n, m, active, cap_phase)
@@ -210,7 +216,7 @@ def wavefront_pass(meta, q_sm, t_sm, qv, S: int = S_CAP, NC: int = NC_CAP,
     Returns (ed [B], caps [B, NC*8, 128], cap_base [B, NC]).
     """
     B = meta.shape[0]
-    kernel = make_align_kernel(S, NC)
+    kernel = make_align_kernel(S, NC, sub)
     nrows = LQ_CAP // LANE
     ed, caps, cap_base = pl.pallas_call(
         kernel,
@@ -228,14 +234,14 @@ def wavefront_pass(meta, q_sm, t_sm, qv, S: int = S_CAP, NC: int = NC_CAP,
         out_specs=[
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((2 * NC * SUB, 1, 1, LANE), lambda b: (0, b, 0, 0),
+            pl.BlockSpec((2 * NC * sub, 1, 1, LANE), lambda b: (0, b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 2 * NC), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((2 * NC * SUB, B, 1, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((2 * NC * sub, B, 1, LANE), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 2 * NC), jnp.int32),
         ],
         interpret=interpret,
@@ -283,6 +289,7 @@ def _crossings(ed_f, caps_f, base_f, caps_b, base_b, meta, S: int,
     m = meta[:, 0, 1]
     total = n + m
     c_idx = jnp.arange(NC, dtype=jnp.int32)[None, :]          # [1, NC]
+    W = caps_f.shape[1] * caps_f.shape[2] // (2 * NC)
     F = caps_f.reshape(B, 2 * NC, W)
     Bw = caps_b.reshape(B, 2 * NC, W)
 
@@ -330,9 +337,14 @@ class PallasAligner:
     whose band was too narrow."""
 
     def __init__(self, num_threads: int = 4, interpret: bool = None,
-                 batch_size: int = 8, devices=None):
+                 batch_size: int = 8, devices=None, band_width: int = 0):
         self.num_threads = num_threads
         self.batch_size = batch_size
+        # band auto-sizing follows the reference GPU aligner: 10% of the
+        # mean overlap length when no width is given
+        # (src/cuda/cudapolisher.cpp:150-163), rounded to the 128-lane
+        # tile and clamped to [256, 2048]
+        self.band_width = band_width
         if interpret is None:
             interpret = INTERPRET
         self.interpret = interpret
@@ -349,6 +361,13 @@ class PallasAligner:
         out = [None] * len(pairs)
         todo = [i for i, (q, t) in enumerate(pairs)
                 if 0 < len(q) <= LQ_CAP and 0 < len(t) <= LT_CAP]
+        band = self.band_width
+        if band <= 0 and todo:
+            mean_len = (sum(max(len(pairs[i][0]), len(pairs[i][1]))
+                            for i in todo) / len(todo))
+            band = int(mean_len * 0.1)
+        sub = min(max(-(-band // LANE), 2), 16)
+        self._sub = sub
         for lo in range(0, len(todo), self.batch_size):
             idxs = todo[lo:lo + self.batch_size]
             self._run([pairs[i] for i in idxs], idxs, out)
@@ -368,12 +387,13 @@ class PallasAligner:
         self._next_device += 1
         put = lambda x: jax.device_put(jnp.asarray(x), dev)
 
+        sub = getattr(self, "_sub", SUB)
         ed_f, caps_f, base_f = wavefront_pass(
             put(meta), put(q_sm), put(t_sm), put(qv),
-            interpret=self.interpret)
+            interpret=self.interpret, sub=sub)
         ed_b, caps_b, base_b = wavefront_pass(
             put(meta_r), put(q_r), put(t_r), put(qv_r),
-            interpret=self.interpret)
+            interpret=self.interpret, sub=sub)
 
         cross_i, a_used, ok = _crossings(ed_f, caps_f, base_f, caps_b,
                                          base_b, put(meta),

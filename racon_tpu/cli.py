@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "aligner, tie choices may differ from the host "
                         "path — the default host aligner stays "
                         "bit-reproducible)")
+    p.add_argument("--band-width", type=int, default=0,
+                   help="band width for the TPU aligner; 0 sizes it "
+                        "automatically to 10%% of the mean overlap length "
+                        "(reference: cudaaligner-band-width, "
+                        "src/cuda/cudapolisher.cpp:150-163)")
     p.add_argument("--version", action="version",
                    version=f"v{__version__}")
     return p
@@ -84,7 +89,8 @@ def main(argv=None) -> int:
         PolisherType.kF if args.fragment_correction else PolisherType.kC,
         args.window_length, args.quality_threshold, args.error_threshold,
         not args.no_trimming, args.match, args.mismatch, args.gap,
-        args.threads, engine=args.engine, tpu_align=args.tpu_align)
+        args.threads, engine=args.engine, tpu_align=args.tpu_align,
+        band_width=args.band_width)
     polisher.initialize()
     polished = polisher.polish(not args.include_unpolished)
 

@@ -40,7 +40,8 @@ def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
                     error_threshold: float = 0.3, trim: bool = True,
                     match: int = 3, mismatch: int = -5, gap: int = -4,
                     num_threads: int = 1, engine: str = "auto",
-                    tpu_align: bool = False) -> "Polisher":
+                    tpu_align: bool = False,
+                    band_width: int = 0) -> "Polisher":
     """Factory with the reference's validation surface
     (reference: src/polisher.cpp:57-163)."""
     if not isinstance(type, PolisherType):
@@ -60,7 +61,8 @@ def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
                 f"{', '.join(exts)})!")
     return Polisher(sequences_path, overlaps_path, target_path, type,
                     window_length, quality_threshold, error_threshold, trim,
-                    match, mismatch, gap, num_threads, engine, tpu_align)
+                    match, mismatch, gap, num_threads, engine, tpu_align,
+                    band_width)
 
 
 class Polisher:
@@ -68,7 +70,8 @@ class Polisher:
                  target_path: str, type: PolisherType, window_length: int,
                  quality_threshold: float, error_threshold: float, trim: bool,
                  match: int, mismatch: int, gap: int, num_threads: int,
-                 engine: str = "auto", tpu_align: bool = False):
+                 engine: str = "auto", tpu_align: bool = False,
+                 band_width: int = 0):
         self.sequences_path = sequences_path
         self.overlaps_path = overlaps_path
         self.target_path = target_path
@@ -83,6 +86,7 @@ class Polisher:
         self.num_threads = num_threads
         self.engine_name = engine
         self.tpu_align = tpu_align
+        self.band_width = band_width
 
         self.sequences: List[Sequence] = []
         self.windows: List[Window] = []
@@ -280,7 +284,8 @@ class Polisher:
                 # path — src/cuda tests carry divergent goldens)
                 try:
                     from racon_tpu.align.pallas_align import PallasAligner
-                    pa = PallasAligner(num_threads=self.num_threads)
+                    pa = PallasAligner(num_threads=self.num_threads,
+                                       band_width=self.band_width)
                     cigars = pa.align_batch(pairs)
                     print(f"[racon_tpu::Polisher] tpu-align: "
                           f"{pa.stats['device']} on device, "
