@@ -274,13 +274,15 @@ static int64_t myers_banded_pass(const uint8_t* q, int64_t n,
     bot[b] = b * W + rows_of(b);
   }
 
-  st->off.assign(m + 1, 0);
-  st->fb.assign(m + 1, 0);
-  st->lb.assign(m + 1, -1);
-  st->pv.clear();
-  st->mv.clear();
-  st->bs.clear();
-  st->pv.reserve((lb - fb + 2) * (m + 1));
+  if (st != nullptr) {
+    st->off.assign(m + 1, 0);
+    st->fb.assign(m + 1, 0);
+    st->lb.assign(m + 1, -1);
+    st->pv.clear();
+    st->mv.clear();
+    st->bs.clear();
+    st->pv.reserve((lb - fb + 2) * (m + 1));
+  }
 
   for (int64_t j = 1; j <= m; ++j) {
     const int64_t rlo = band_lo(j), rhi = band_hi(j);
@@ -324,13 +326,15 @@ static int64_t myers_banded_pass(const uint8_t* q, int64_t n,
       hin = hout;
     }
 
-    st->off[j] = static_cast<int64_t>(st->pv.size()) - fb;
-    st->fb[j] = static_cast<int32_t>(fb);
-    st->lb[j] = static_cast<int32_t>(lb);
-    for (int64_t b = fb; b <= lb; ++b) {
-      st->pv.push_back(pv[b]);
-      st->mv.push_back(mv[b]);
-      st->bs.push_back(static_cast<int32_t>(bot[b]));
+    if (st != nullptr) {
+      st->off[j] = static_cast<int64_t>(st->pv.size()) - fb;
+      st->fb[j] = static_cast<int32_t>(fb);
+      st->lb[j] = static_cast<int32_t>(lb);
+      for (int64_t b = fb; b <= lb; ++b) {
+        st->pv.push_back(pv[b]);
+        st->mv.push_back(mv[b]);
+        st->bs.push_back(static_cast<int32_t>(bot[b]));
+      }
     }
   }
   if (bn < fb || bn > lb) return k + 1;
@@ -1067,6 +1071,23 @@ int64_t rt_breaking_points(const char* cigar, int64_t cigar_len,
     // S/H/P: no coordinate movement (clips folded into q_begin upstream)
   }
   return n_out;
+}
+
+// Banded edit distance (score only, band doubling; exact — the result is
+// accepted only when it fits the band).  Orders of magnitude faster than
+// the full-width Myers on long, similar sequences (genome-scale scoring).
+int64_t rt_edit_distance_banded(const uint8_t* q, int64_t n,
+                                const uint8_t* t, int64_t m) {
+  if (n == 0) return m;
+  if (m == 0) return n;
+  const int64_t absD = n > m ? n - m : m - n;
+  int64_t k = absD + 1024;
+  while (true) {
+    const int64_t d = myers_banded_pass(q, n, t, m, k, nullptr);
+    if (d <= k) return d;
+    if (k >= n + m) return d;
+    k = std::min<int64_t>(k * 2, n + m);
+  }
 }
 
 int64_t rt_edit_distance(const uint8_t* q, int64_t n, const uint8_t* t,

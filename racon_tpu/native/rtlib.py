@@ -18,6 +18,10 @@ _lib.rt_align_batch.argtypes = [
     ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
     ctypes.c_int64, ctypes.c_int, ctypes.c_int,
 ]
+_lib.rt_edit_distance_banded.restype = ctypes.c_int64
+_lib.rt_edit_distance_banded.argtypes = [
+    ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+]
 _lib.rt_breaking_points.restype = ctypes.c_int64
 _lib.rt_breaking_points.argtypes = [
     ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -403,6 +407,13 @@ class NativeAligner:
         finally:
             _lib.rt_result_free(handle)
         return out
+
+
+def edit_distance_banded(q: bytes, t: bytes) -> int:
+    """Exact edit distance via the banded Myers pass with band doubling —
+    use for genome-scale scoring where the full-width automaton is too
+    slow."""
+    return _lib.rt_edit_distance_banded(q, len(q), t, len(t))
 
 
 def breaking_points(cigar: bytes, t_begin: int, t_end: int, q_begin: int,

@@ -170,8 +170,14 @@ def _extract_lane(row, idx, width: int):
 
 
 def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
-                      mismatch: int, gap: int, stop_phase: int = 9):
-    """Kernel body: grid (B, D); one call builds every window's POA graph.
+                      mismatch: int, gap: int, stop_phase: int = 9,
+                      K: int = 1):
+    """Kernel body: grid (B//K, D); one call builds every window's POA
+    graph, processing K windows per grid step with their serial phases
+    INTERLEAVED (every per-window loop — DP over ranks, traceback, graph
+    update, merge — is latency-chain-bound, so K independent instruction
+    streams overlap in the stall slots; measured ~50% of the DP loop's
+    slots are free).
 
     Move codes: diag via pred slot p -> p; diag via virtual source -> P;
     vert via slot p -> P+1+p; vert virtual -> 2P+1; horiz -> 2P+2.  The
@@ -190,6 +196,8 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
     assert HORIZ <= CODE_INV, f"P={P} move codes exceed the code field"
     HZ_PAYLOAD = (CODE_INV - HORIZ) << CODE_SHIFT
     SUB = sub_l
+    VOFF = (P + 1) << CODE_SHIFT
+    KS = list(range(K))
 
     def kernel(bb_ref, bbw_ref, bbl_ref, meta_ref, seq_ref, seq_s, wts_s,
                st, noderow,
@@ -201,8 +209,8 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
         g_i = jnp.int32(gap)
 
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, NR_LANE), 1)
-        # noderow now carries only the deep pred WEIGHTS (ids mirror in
-        # SMEM state rows); a fresh row is all zeros
+        # noderow carries only the deep pred WEIGHTS (ids mirror in SMEM
+        # state rows); a fresh row is all zeros
         empty_row = jnp.zeros((1, NR_LANE), jnp.int32)
 
         # ---- window init (first layer step only) ------------------------ #
@@ -210,132 +218,141 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
         # buffers are reused across windows, so every entry a later read
         # can touch is re-established here: the chain, the index-N
         # sentinels, and the misc row).
-        def _init_window():
-            blen = bbl_ref[0, 0, 0]
+        def _init_window(k):
+            blen = bbl_ref[k, 0, 0]
 
             def init_body(v, _):
                 first = v == 0
-                st[0, R_ORDER, v] = v
-                st[0, R_RANK, v] = v
-                st[0, R_COL, v] = v
-                c = bb_ref[0, 0, v]
-                st[0, R_CODES, v] = c
-                st[0, R_CNT, v] = jnp.where(first, 0, 1)
-                st[0, R_COV, v] = jnp.int32(1)
-                st[0, R_REP, v] = v
-                st[0, R_P0, v] = jnp.where(first, N, v - 1)
-                st[0, R_P1, v] = jnp.int32(N)
-                wv = bbw_ref[0, 0, v]
-                wp = bbw_ref[0, 0, jnp.maximum(v - 1, 0)]
-                st[0, R_PW0, v] = jnp.where(first, 0, wv + wp)
-                st[0, R_PW1, v] = jnp.int32(0)
+                st[k, R_ORDER, v] = v
+                st[k, R_RANK, v] = v
+                st[k, R_COL, v] = v
+                c = bb_ref[k, 0, v]
+                st[k, R_CODES, v] = c
+                st[k, R_CNT, v] = jnp.where(first, 0, 1)
+                st[k, R_COV, v] = jnp.int32(1)
+                st[k, R_REP, v] = v
+                st[k, R_P0, v] = jnp.where(first, N, v - 1)
+                st[k, R_P1, v] = jnp.int32(N)
+                wv = bbw_ref[k, 0, v]
+                wp = bbw_ref[k, 0, jnp.maximum(v - 1, 0)]
+                st[k, R_PW0, v] = jnp.where(first, 0, wv + wp)
+                st[k, R_PW1, v] = jnp.int32(0)
                 lc = jnp.clip(c, 0, ALPHABET - 1)
                 for l in range(ALPHABET):
-                    st[0, R_LETN + l, v] = jnp.where(lc == l, v, -1)
+                    st[k, R_LETN + l, v] = jnp.where(lc == l, v, -1)
                 return 0
 
             jax.lax.fori_loop(0, blen, init_body, 0)
-            st[0, R_ORDER, N] = jnp.int32(N)
-            st[0, R_RANK, N] = jnp.int32(BIG_RANK)
-            st[0, R_COL, N] = jnp.int32(0)
-            st[0, R_CODES, N] = jnp.int32(PAD_CODE)
-            st[0, R_CNT, N] = jnp.int32(0)
-            st[0, R_COV, N] = jnp.int32(0)
-            st[0, R_REP, N] = jnp.int32(N)
-            st[0, R_P0, N] = jnp.int32(N)
-            st[0, R_P1, N] = jnp.int32(N)
-            st[0, R_PW0, N] = jnp.int32(0)
-            st[0, R_PW1, N] = jnp.int32(0)
+            st[k, R_ORDER, N] = jnp.int32(N)
+            st[k, R_RANK, N] = jnp.int32(BIG_RANK)
+            st[k, R_COL, N] = jnp.int32(0)
+            st[k, R_CODES, N] = jnp.int32(PAD_CODE)
+            st[k, R_CNT, N] = jnp.int32(0)
+            st[k, R_COV, N] = jnp.int32(0)
+            st[k, R_REP, N] = jnp.int32(N)
+            st[k, R_P0, N] = jnp.int32(N)
+            st[k, R_P1, N] = jnp.int32(N)
+            st[k, R_PW0, N] = jnp.int32(0)
+            st[k, R_PW1, N] = jnp.int32(0)
             for l in range(ALPHABET):
-                st[0, R_LETN + l, N] = jnp.int32(-1)
-            st[0, R_MISC, 0] = blen
-            st[0, R_MISC, 1] = jnp.int32(0)
-            noderow[0] = jnp.broadcast_to(empty_row[:, None, :],
+                st[k, R_LETN + l, N] = jnp.int32(-1)
+            st[k, R_MISC, 0] = blen
+            st[k, R_MISC, 1] = jnp.int32(0)
+            noderow[k] = jnp.broadcast_to(empty_row[:, None, :],
                                           (N + 1, 1, NR_LANE))
 
         if stop_phase >= -1:
 
             @pl.when(d_id == 0)
             def _():
-                _init_window()
+                for k in KS:
+                    _init_window(k)
 
-        begin = meta_ref[0, 0, 0, 0]
-        end = meta_ref[0, 0, 0, 1]
-        full = meta_ref[0, 0, 0, 2]
-        ell = jnp.clip(meta_ref[0, 0, 0, 3], 0, LP - 1)
-        layer_active = meta_ref[0, 0, 0, 4]
-        nn0 = st[0, R_MISC, 0]
-        failed0 = st[0, R_MISC, 1]
-        act0 = (layer_active == 1) & (failed0 == 0)
+        begin = [meta_ref[0, k, 0, 0] for k in KS]
+        end = [meta_ref[0, k, 0, 1] for k in KS]
+        full = [meta_ref[0, k, 0, 2] for k in KS]
+        ell = [jnp.clip(meta_ref[0, k, 0, 3], 0, LP - 1) for k in KS]
+        layer_active = [meta_ref[0, k, 0, 4] for k in KS]
+        nn0 = [st[k, R_MISC, 0] for k in KS]
+        failed0 = [st[k, R_MISC, 1] for k in KS]
+        act0 = [(layer_active[k] == 1) & (failed0[k] == 0) for k in KS]
 
         jidx = _iota2(SUB)
-        jgapm = jnp.where(jidx <= ell, jidx * g_i, NEG)     # masked j*gap
-        seq_tile = seq_ref[0, 0]
+        jgapm = [jnp.where(jidx <= ell[k], jidx * g_i, NEG) for k in KS]
+        seq_tile = [seq_ref[0, k] for k in KS]
 
-        # ---- rank range -------------------------------------------------- #
-        rb_real = jnp.where(full == 1, 0,
-                            st[0, R_RANK, jnp.clip(begin, 0, N - 1)])
-        re_real = jnp.where(full == 1, nn0 - 1,
-                            st[0, R_RANK, jnp.clip(end, 0, N - 1)])
-        rb = jnp.where(act0, jnp.clip(rb_real, 0, N - 1), 1)
-        re = jnp.where(act0, jnp.clip(re_real, 0, N - 1), 0)
+        # ---- rank range ------------------------------------------------- #
+        rb, re = [], []
+        for k in KS:
+            rb_real = jnp.where(full[k] == 1, 0,
+                                st[k, R_RANK, jnp.clip(begin[k], 0, N - 1)])
+            re_real = jnp.where(full[k] == 1, nn0[k] - 1,
+                                st[k, R_RANK, jnp.clip(end[k], 0, N - 1)])
+            rb.append(jnp.where(act0[k], jnp.clip(rb_real, 0, N - 1), 1))
+            re.append(jnp.where(act0[k], jnp.clip(re_real, 0, N - 1), 0))
+        span = [re[k] - rb[k] for k in KS]           # -1 when inactive
+        max_span = span[0]
+        for k in KS[1:]:
+            max_span = jnp.maximum(max_span, span[k])
 
-        # ---- phase 1: forward DP ----------------------------------------- #
-        def zero_hs(r, _):
-            hs[r] = jnp.int32(0)
+        # ---- phase 1: forward DP ---------------------------------------- #
+        # Writes past a window's own range land on clipped row indices
+        # whose contents are never read this layer, so the common loop
+        # needs no store predication; stray hs writes are absorbed by the
+        # hs[k, N] dump slot via the `valid` mask.
+        def zero_hs(i, _):
+            for k in KS:
+                hs[k, jnp.minimum(rb[k] + i, N)] = jnp.int32(0)
             return 0
 
         if stop_phase >= 1:
-            jax.lax.fori_loop(rb, re + 1, zero_hs, 0)
+            jax.lax.fori_loop(0, max_span + 1, zero_hs, 0)
 
-        # Per-pred packed rows q_p = (score << 16) | (31-slot) << 11 | rank
-        # combine under max FIRST (score dominates; equal scores keep the
-        # lowest slot), then derive diag/vert from the single winner:
-        #   diag = shift_j(q) + prof << 16            (payload intact)
-        #   vert = q + (gap << 16) - ((P+1) << 11)    (slot code p -> P+1+p)
-        # The virtual source uses the same constant offset (P -> 2P+1).
-        VOFF = (P + 1) << CODE_SHIFT
-
-        def _qrow(cnt_need, pid):
-            prr = st[0, R_RANK, jnp.clip(pid, 0, N)]
-            valid = cnt_need & (pid < N) & (prr >= rb)
+        # Per-pred packed rows q_p = (score << 16) | (CODE_INV - slot) <<
+        # CODE_SHIFT; combine under max FIRST (score dominates; equal
+        # scores keep the lowest slot), then derive diag/vert from the
+        # single winner.
+        def _qrow(k, guard, cnt_need, pid):
+            prr = st[k, R_RANK, jnp.clip(pid, 0, N)]
+            valid = guard & cnt_need & (pid < N) & (prr >= rb[k])
             prs = jnp.where(valid, prr, N)
-            hs[prs] = jnp.int32(1)
+            hs[k, prs] = jnp.int32(1)
             hps = jnp.where(valid,
                             jax.lax.shift_right_arithmetic(
-                                H[pl.ds(prs * SUB, SUB)], jnp.int32(16)),
+                                H[pl.ds((k * (N + 1) + prs) * SUB, SUB)],
+                                jnp.int32(16)),
                             NEG)
-            return hps, prs, valid
+            return hps, valid
 
-        def dp_body(r, minrow):
-            v = st[0, R_ORDER, r]
-            cntv = st[0, R_CNT, v]
-            code_v = st[0, R_CODES, v]
-            prof16 = jnp.where(seq_tile == code_v, m_i << 16, x_i << 16)
+        def dp_body_k(k, i, guard, minrow):
+            r = jnp.minimum(rb[k] + i, N)
+            v = st[k, R_ORDER, r]
+            cntv = st[k, R_CNT, v]
+            code_v = st[k, R_CODES, v]
+            prof16 = jnp.where(seq_tile[k] == code_v, m_i << 16, x_i << 16)
 
-            hps0, prs0, valid0 = _qrow(cntv >= 1, st[0, R_P0, v])
+            hps0, valid0 = _qrow(k, guard, cntv >= 1, st[k, R_P0, v])
             q = hps0 * 65536 + ((CODE_INV - 0) << CODE_SHIFT)
-            hps1, prs1, valid1 = _qrow(cntv >= 2, st[0, R_P1, v])
+            hps1, valid1 = _qrow(k, guard, cntv >= 2, st[k, R_P1, v])
             q = jnp.maximum(q, hps1 * 65536 + ((CODE_INV - 1) << CODE_SHIFT))
             anyv = valid0 | valid1
 
             # deep pred slots: branch past them entirely for chain nodes
-            # (the common case); inside, slots 2..5 are statically unrolled
-            # (masked SMEM reads beat a dynamic-trip loop) and only the
-            # rare 6+ tail loops
+            # (the common case); inside, slots 2..5 are statically
+            # unrolled and only the rare 6+ tail loops
             def deep_preds(qa):
                 q, anyv = qa
                 for p in range(2, min(6, P)):
-                    pid = st[0, R_PREDS + p, v]
-                    hps, prs, valid = _qrow(cntv > p, pid)
+                    pid = st[k, R_PREDS + p, v]
+                    hps, valid = _qrow(k, guard, cntv > p, pid)
                     q = jnp.maximum(
                         q, hps * 65536 + ((CODE_INV - p) << CODE_SHIFT))
                     anyv = anyv | valid
 
                 def tail_body(p, carry):
                     q, anyv = carry
-                    pid = st[0, R_PREDS + p, v]
-                    hps, prs, valid = _qrow(True, pid)
+                    pid = st[k, R_PREDS + p, v]
+                    hps, valid = _qrow(k, guard, True, pid)
                     q = jnp.maximum(
                         q, hps * 65536 + ((CODE_INV - p) << CODE_SHIFT))
                     return q, anyv | valid
@@ -348,7 +365,7 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             q, anyv = jax.lax.cond(cntv >= 3, deep_preds, lambda qa: qa,
                                    (q, anyv))
 
-            virt = jnp.where(~anyv, jgapm, NEG)
+            virt = jnp.where(~anyv, jgapm[k], NEG)
             q = jnp.maximum(
                 q, virt * 65536 + ((CODE_INV - P) << CODE_SHIFT))
 
@@ -357,52 +374,70 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             acc = jnp.maximum(diag, vert)
 
             pre = jax.lax.shift_right_arithmetic(acc, jnp.int32(16))
-            closed = _cummax_j(pre - jgapm, SUB) + jgapm
+            closed = _cummax_j(pre - jgapm[k], SUB) + jgapm[k]
             codebits = jnp.where(closed > pre, HZ_PAYLOAD, acc & 0xFFFF)
-            packed = jnp.where(jidx <= ell, closed * 65536 + codebits,
+            packed = jnp.where(jidx <= ell[k], closed * 65536 + codebits,
                                NEG * 65536)
-            H[pl.ds(r * SUB, SUB)] = packed
-            # saturation tracking: the running min of in-range cell scores
-            return jnp.minimum(minrow, jnp.where(jidx <= ell, closed, 0))
+            H[pl.ds((k * (N + 1) + r) * SUB, SUB)] = packed
+            # saturation tracking: running min of in-range cell scores
+            return jnp.minimum(
+                minrow, jnp.where(guard & (jidx <= ell[k]), closed, 0))
+
+        def dp_body(i, minrows):
+            return tuple(
+                dp_body_k(k, i, i <= span[k], minrows[k]) for k in KS)
 
         if stop_phase >= 1:
-            minrow = jax.lax.fori_loop(rb, re + 1, dp_body,
-                                       jnp.zeros((SUB, LANE), jnp.int32))
+            minrows = jax.lax.fori_loop(
+                0, max_span + 1, dp_body,
+                tuple(jnp.zeros((SUB, LANE), jnp.int32) for _ in KS))
             # scores at or below SAT_FLOOR can no longer be trusted (the
             # 16-bit packed field would wrap within a few more steps);
             # fail the window to the host oracle instead (one scalar
-            # readback per layer step)
-            saturated = act0 & (jnp.min(minrow) <= SAT_FLOOR)
+            # readback per layer step per window)
+            saturated = [act0[k] & (jnp.min(minrows[k]) <= SAT_FLOOR)
+                         for k in KS]
         else:
-            saturated = act0 & False
+            saturated = [act0[k] & False for k in KS]
 
-        # ---- phase 2: sink selection (max score, earliest rank) ---------- #
-        ell_sub = ell // LANE
-        ell_lane = ell - ell_sub * LANE
+        # ---- phase 2: sink selection (max score, earliest rank) --------- #
+        ell_sub = [ell[k] // LANE for k in KS]
+        ell_lane = [ell[k] - ell_sub[k] * LANE for k in KS]
 
-        def sink_body(r, best):
-            bs, br = best
-            row = H[pl.ds(r * SUB + ell_sub, 1)]
-            score = jax.lax.shift_right_arithmetic(
-                _extract_lane(row, ell_lane, LANE), jnp.int32(16))
-            better = (hs[r] == 0) & (score > bs)
-            return (jnp.where(better, score, bs), jnp.where(better, r, br))
+        def sink_body(i, best):
+            out = []
+            for k in KS:
+                bs, br = best[k]
+                r = jnp.minimum(rb[k] + i, N)
+                row = H[pl.ds((k * (N + 1) + r) * SUB + ell_sub[k], 1)]
+                score = jax.lax.shift_right_arithmetic(
+                    _extract_lane(row, ell_lane[k], LANE), jnp.int32(16))
+                better = (i <= span[k]) & (hs[k, r] == 0) & (score > bs)
+                out.append((jnp.where(better, score, bs),
+                            jnp.where(better, r, br)))
+            return tuple(out)
 
         if stop_phase >= 2:
-            _, best_r = jax.lax.fori_loop(rb, re + 1, sink_body,
-                                          (jnp.int32(NEG), jnp.int32(N)))
+            best = jax.lax.fori_loop(
+                0, max_span + 1, sink_body,
+                tuple((jnp.int32(NEG), jnp.int32(N)) for _ in KS))
+            best_r = [best[k][1] for k in KS]
         else:
-            best_r = jnp.int32(N)
+            best_r = [jnp.int32(N) for _ in KS]
 
-        # ---- phase 3: traceback; store consumed entries only ------------- #
+        # ---- phase 3: traceback; store consumed entries only ------------ #
         def tb_cond(c):
-            vr, j, t, ts, done = c
-            return (done == 0) & (t < t_cap)
+            t, states = c
+            alive = states[0][3] == 0
+            for k in KS[1:]:
+                alive = alive | (states[k][3] == 0)
+            return alive & (t < t_cap)
 
-        def tb_body(c):
-            vr, j, t, ts, done = c
+        def tb_step_k(k, state):
+            vr, j, ts_k, done = state
+            live = done == 0
             at_virtual = vr == N
-            vs = jnp.clip(vr, 0, N) * SUB + j // LANE
+            vs = (k * (N + 1) + jnp.clip(vr, 0, N)) * SUB + j // LANE
             packed = _extract_lane(H[pl.ds(vs, 1)], j % LANE, LANE)
             move = jnp.where(
                 at_virtual, HORIZ,
@@ -410,99 +445,111 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                     packed, jnp.int32(CODE_SHIFT)) & CODE_INV))
             # re-derive the predecessor rank from the slot code (the
             # packed cell no longer carries it): pid = preds[slot][node]
-            vnode = st[0, R_ORDER, jnp.clip(vr, 0, N)]
+            vnode = st[k, R_ORDER, jnp.clip(vr, 0, N)]
             slot = jnp.where(move < P, move,
                              jnp.clip(move - P - 1, 0, P - 1))
-            pid = st[0, R_PREDS + jnp.clip(slot, 0, P - 1), vnode]
+            pid = st[k, R_PREDS + jnp.clip(slot, 0, P - 1), vnode]
             to_virtual = (move == P) | (move == 2 * P + 1)
             prr = jnp.where(to_virtual, N,
-                            st[0, R_RANK, jnp.clip(pid, 0, N)])
+                            st[k, R_RANK, jnp.clip(pid, 0, N)])
             prr = jnp.clip(prr, 0, N)
             is_vert = (move > P) & (move < HORIZ)
             is_horiz = move == HORIZ
             store = ~is_vert
 
-            @pl.when(store)
+            @pl.when(live & store)
             def _():
-                pnode[ts] = jnp.where(is_horiz, -1,
-                                      st[0, R_ORDER, jnp.clip(vr, 0, N)])
-                ppos[ts] = j - 1
+                pnode[k, ts_k] = jnp.where(is_horiz, -1, vnode)
+                ppos[k, ts_k] = j - 1
 
-            ts2 = ts + store.astype(jnp.int32)
-            j2 = jnp.where(is_vert, j, j - 1)
-            vr2 = jnp.where(is_horiz, vr, prr)
-            done2 = ((vr2 == N) & (j2 == 0)).astype(jnp.int32)
-            return vr2, j2, t + 1, ts2, done2
+            ts2 = jnp.where(live, ts_k + store.astype(jnp.int32), ts_k)
+            j2 = jnp.where(live & ~is_vert, j - 1, j)
+            vr2 = jnp.where(live & ~is_horiz, prr, vr)
+            done2 = jnp.where(live,
+                              ((vr2 == N) & (j2 == 0)).astype(jnp.int32),
+                              done)
+            return (vr2, j2, ts2, done2)
 
-        run_tb = act0 & ~saturated
-        done0 = jnp.where(run_tb, 0, 1).astype(jnp.int32)
-        vr0 = jnp.where(run_tb, best_r, N)
-        j0 = jnp.where(run_tb, ell, 0)
+        def tb_body(c):
+            t, states = c
+            return t + 1, tuple(tb_step_k(k, states[k]) for k in KS)
+
+        run_tb = [act0[k] & ~saturated[k] for k in KS]
+        tb_init = tuple(
+            (jnp.where(run_tb[k], best_r[k], N),
+             jnp.where(run_tb[k], ell[k], 0),
+             jnp.int32(0),
+             jnp.where(run_tb[k], 0, 1).astype(jnp.int32)) for k in KS)
         if stop_phase >= 3:
-            vr, j, t, ts, done = jax.lax.while_loop(
-                tb_cond, tb_body, (vr0, j0, jnp.int32(0), jnp.int32(0),
-                                   done0))
+            _, tb_out = jax.lax.while_loop(tb_cond, tb_body,
+                                           (jnp.int32(0), tb_init))
         else:
-            vr, j, t, ts, done = (vr0, j0, jnp.int32(0), jnp.int32(0),
-                                  jnp.int32(1))
+            tb_out = tuple((s[0], s[1], s[2], jnp.int32(1)) for s in tb_init)
         # failure codes (misc[1]): 1 node overflow, 2 pred-slot overflow,
         # 3 traceback overrun, 4 score saturation
-        overrun = (done == 0) & run_tb
-        failed_tb = jnp.where(saturated, 4, jnp.where(overrun, 3, failed0))
-        ts = jnp.where(overrun | ~run_tb, 0, ts)
+        overrun = [(tb_out[k][3] == 0) & run_tb[k] for k in KS]
+        failed_tb = [jnp.where(saturated[k], 4,
+                               jnp.where(overrun[k], 3, failed0[k]))
+                     for k in KS]
+        ts = [jnp.where(overrun[k] | ~run_tb[k], 0, tb_out[k][2])
+              for k in KS]
+        max_ts = ts[0]
+        for k in KS[1:]:
+            max_ts = jnp.maximum(max_ts, ts[k])
 
-        # ---- phase 4: graph update (forward walk over stored entries) ---- #
+        # ---- phase 4: graph update (forward walk over stored entries) --- #
         # State is updated in place: new-node state is written immediately
         # (node ids >= nn0, disjoint from every pre-layer read); mutations
         # of pre-existing nodes (coverage, edges, letter registration) are
         # deferred into the delta lists and applied after the merge.
-        n_cols0 = st[0, R_COL, jnp.clip(nn0 - 1, 0, N)] + 1
+        n_cols0 = [st[k, R_COL, jnp.clip(nn0[k] - 1, 0, N)] + 1 for k in KS]
 
-        def upd_body(i, carry):
+        def upd_body_k(k, i, carry):
             (prev_res, prev_w, c, k_ins, n_new, pend, lo_key, lo_cnum,
              failed) = carry
-            idx = ts - 1 - i
-            act = failed == 0
-            v = pnode[jnp.clip(idx, 0, LP - 1)]
-            pos = ppos[jnp.clip(idx, 0, LP - 1)]
+            idx = ts[k] - 1 - i
+            act = (failed == 0) & (i < ts[k])
+            v = pnode[k, jnp.clip(idx, 0, LP - 1)]
+            pos = ppos[k, jnp.clip(idx, 0, LP - 1)]
             jj = jnp.clip(pos + 1, 0, LP - 1)
-            letter = seq_s[0, 0, 0, jj]
-            wt = wts_s[0, 0, 0, jj]
+            letter = seq_s[0, k, 0, jj]
+            wt = wts_s[0, k, 0, jj]
             lclip = jnp.clip(letter, 0, ALPHABET - 1)
             c2 = jnp.where(act, c + 1, c)
 
             matched = v >= 0
             vsafe = jnp.where(matched, v, N)
-            code_v = st[0, R_CODES, vsafe]
-            rep_n = st[0, R_REP, vsafe]
-            sib = st[0, R_LETN + lclip, jnp.clip(rep_n, 0, N)]
+            code_v = st[k, R_CODES, vsafe]
+            rep_n = st[k, R_REP, vsafe]
+            sib = st[k, R_LETN + lclip, jnp.clip(rep_n, 0, N)]
 
             same = matched & (code_v == letter)
             use_sib = matched & ~same & (sib >= 0)
             create = ~same & ~use_sib
             created_matched = create & matched
 
-            new_raw = nn0 + n_new
+            new_raw = nn0[k] + n_new
             overflow_n = create & (new_raw >= N)
             new_id = jnp.minimum(new_raw, N)
             resolved = jnp.where(same, vsafe,
                                  jnp.where(use_sib, sib, new_id))
 
             # anchor key = column key of the matched node
-            ak = st[0, R_COL, jnp.clip(st[0, R_RANK, vsafe], 0, N)] * KEY_SCALE
+            ak = st[k, R_COL,
+                    jnp.clip(st[k, R_RANK, vsafe], 0, N)] * KEY_SCALE
             do_close = act & matched & (pend >= 0)
 
             @pl.when(do_close)
             def _():
                 k_run = jnp.maximum(c2 - lo_cnum - 1, 0)
                 kp1 = jnp.maximum(k_run + 1, 1)
-                span = ak - lo_key
-                q_div = span // kp1
-                rem = span - q_div * kp1
+                span_kk = ak - lo_key
+                q_div = span_kk // kp1
+                rem = span_kk - q_div * kp1
 
                 def fix(kk, _):
                     m1 = kk + 1
-                    ins_key[pend + kk] = \
+                    ins_key[k, pend + kk] = \
                         (lo_key + q_div * m1 + (rem * m1) // kp1) | 1
                     return 0
 
@@ -514,36 +561,37 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             # new node: write state immediately (merge skips new ids)
             @pl.when(act & create)
             def _():
-                st[0, R_CODES, new_id] = letter
-                st[0, R_CNT, new_id] = jnp.int32(0)
-                st[0, R_COV, new_id] = jnp.int32(0)  # +1 via delta below
-                st[0, R_REP, new_id] = jnp.where(created_matched, rep_n,
+                st[k, R_CODES, new_id] = letter
+                st[k, R_CNT, new_id] = jnp.int32(0)
+                st[k, R_COV, new_id] = jnp.int32(0)  # +1 via delta below
+                st[k, R_REP, new_id] = jnp.where(created_matched, rep_n,
                                                  new_id)
-                st[0, R_P0, new_id] = jnp.int32(N)
-                st[0, R_P1, new_id] = jnp.int32(N)
-                st[0, R_PW0, new_id] = jnp.int32(0)
-                st[0, R_PW1, new_id] = jnp.int32(0)
+                st[k, R_P0, new_id] = jnp.int32(N)
+                st[k, R_P1, new_id] = jnp.int32(N)
+                st[k, R_PW0, new_id] = jnp.int32(0)
+                st[k, R_PW1, new_id] = jnp.int32(0)
                 for l in range(ALPHABET):
-                    st[0, R_LETN + l, new_id] = jnp.int32(-1)
-                noderow[0, new_id] = empty_row
-                ins_node[jnp.clip(k_ins, 0, LP - 1)] = new_id
-                ins_key[jnp.clip(k_ins, 0, LP - 1)] = ak  # run keys fixed later
+                    st[k, R_LETN + l, new_id] = jnp.int32(-1)
+                noderow[k, new_id] = empty_row
+                ins_node[k, jnp.clip(k_ins, 0, LP - 1)] = new_id
+                # run keys fixed later
+                ins_key[k, jnp.clip(k_ins, 0, LP - 1)] = ak
 
             # register the letter on the column representative.  For a new
             # column the rep is the new node itself (letn row just
-            # initialized above); for a join the existing rep's letn row is
-            # live pre-layer state — defer to the delta list.
+            # initialized above); for a join the existing rep's letn row
+            # is live pre-layer state — defer to the delta list.
             @pl.when(act & create & ~matched)
             def _():
-                st[0, R_LETN + lclip, new_id] = new_id
+                st[k, R_LETN + lclip, new_id] = new_id
 
             # edge slot resolution against pre-layer state (heads are
             # touched at most once per layer, so pre-merge reads are exact)
-            cnt_h = jnp.where(create, 0, st[0, R_CNT, resolved])
+            cnt_h = jnp.where(create, 0, st[k, R_CNT, resolved])
             hit0 = has_tail & (cnt_h >= 1) & \
-                (st[0, R_P0, resolved] == prev_res)
+                (st[k, R_P0, resolved] == prev_res)
             hit1 = has_tail & (cnt_h >= 2) & \
-                (st[0, R_P1, resolved] == prev_res)
+                (st[k, R_P1, resolved] == prev_res)
 
             # deep-slot scan: statically unrolled masked SMEM reads (no
             # dynamic-trip loop; prev_res = -1 never matches a slot, so
@@ -551,7 +599,7 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             rsafe = jnp.clip(resolved, 0, N)
             deep = jnp.int32(-1)
             for p in range(2, P):
-                pid = st[0, R_PREDS + p, rsafe]
+                pid = st[k, R_PREDS + p, rsafe]
                 deep = jnp.where((p < cnt_h) & (pid == prev_res)
                                  & (deep < 0), p, deep)
             slot = jnp.where(hit0, 0, jnp.where(hit1, 1,
@@ -560,15 +608,15 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
 
             @pl.when(act)
             def _():
-                d_node[jnp.clip(idx, 0, LP - 1)] = resolved
-                d_flag[jnp.clip(idx, 0, LP - 1)] = \
+                d_node[k, jnp.clip(idx, 0, LP - 1)] = resolved
+                d_flag[k, jnp.clip(idx, 0, LP - 1)] = \
                     jnp.where(create, 0, 1) + 2 * jnp.where(
                         created_matched, 1, 0)
-                d_tail[jnp.clip(idx, 0, LP - 1)] = \
+                d_tail[k, jnp.clip(idx, 0, LP - 1)] = \
                     jnp.where(has_tail, prev_res, -1)
-                d_w[jnp.clip(idx, 0, LP - 1)] = ew
+                d_w[k, jnp.clip(idx, 0, LP - 1)] = ew
                 # stash rep/letter for deferred column registration
-                d_slot[jnp.clip(idx, 0, LP - 1)] = jnp.where(
+                d_slot[k, jnp.clip(idx, 0, LP - 1)] = jnp.where(
                     created_matched,
                     slot * 8 * (N + 1) + rep_n * 8 + lclip,
                     slot * 8 * (N + 1))
@@ -579,7 +627,8 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             n_new2 = jnp.where(act & create, n_new + 1, n_new)
             pend2 = jnp.where(
                 act & matched, -1,
-                jnp.where(act & create & ~matched & (pend < 0), k_ins, pend))
+                jnp.where(act & create & ~matched & (pend < 0), k_ins,
+                          pend))
             lo_key2 = jnp.where(act & matched, ak, lo_key)
             lo_cnum2 = jnp.where(act & matched, c2, lo_cnum)
             prev_res2 = jnp.where(act, resolved, prev_res)
@@ -587,133 +636,167 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             return (prev_res2, prev_w2, c2, k_ins2, n_new2, pend2, lo_key2,
                     lo_cnum2, failed2)
 
-        upd_init = (jnp.int32(-1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
-                    jnp.int32(0), jnp.int32(-1), jnp.int32(-KEY_SCALE),
-                    jnp.int32(0), failed_tb)
+        def upd_body(i, carries):
+            return tuple(upd_body_k(k, i, carries[k]) for k in KS)
+
+        upd_init = tuple(
+            (jnp.int32(-1), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             jnp.int32(0), jnp.int32(-1), jnp.int32(-KEY_SCALE),
+             jnp.int32(0), failed_tb[k]) for k in KS)
         if stop_phase >= 4:
-            (prev_res, prev_w, c_tot, k_ins, n_new, pend, lo_key, lo_cnum,
-             failed_u) = jax.lax.fori_loop(0, ts, upd_body, upd_init)
+            upd_out = jax.lax.fori_loop(0, max_ts, upd_body, upd_init)
         else:
-            (prev_res, prev_w, c_tot, k_ins, n_new, pend, lo_key, lo_cnum,
-             failed_u) = upd_init
+            upd_out = upd_init
+        c_tot = [upd_out[k][2] for k in KS]
+        k_ins = [upd_out[k][3] for k in KS]
+        n_new = [upd_out[k][4] for k in KS]
+        pend = [upd_out[k][5] for k in KS]
+        lo_key = [upd_out[k][6] for k in KS]
+        lo_cnum = [upd_out[k][7] for k in KS]
+        failed_u = [upd_out[k][8] for k in KS]
 
         # trailing run: no next anchor
-        @pl.when((pend >= 0) & (failed_u == 0))
-        def _():
-            hi_key = (n_cols0 + 1) * KEY_SCALE
-            hi_cnum = c_tot + 1
-            k_run = jnp.maximum(hi_cnum - lo_cnum - 1, 0)
-            kp1 = jnp.maximum(k_run + 1, 1)
-            span = hi_key - lo_key
-            q_div = span // kp1
-            rem = span - q_div * kp1
+        for k in KS:
 
-            def fix(kk, _):
-                m1 = kk + 1
-                ins_key[pend + kk] = \
-                        (lo_key + q_div * m1 + (rem * m1) // kp1) | 1
-                return 0
+            @pl.when((pend[k] >= 0) & (failed_u[k] == 0))
+            def _(k=k):
+                hi_key = (n_cols0[k] + 1) * KEY_SCALE
+                hi_cnum = c_tot[k] + 1
+                k_run = jnp.maximum(hi_cnum - lo_cnum[k] - 1, 0)
+                kp1 = jnp.maximum(k_run + 1, 1)
+                span_kk = hi_key - lo_key[k]
+                q_div = span_kk // kp1
+                rem = span_kk - q_div * kp1
 
-            jax.lax.fori_loop(0, k_ins - pend, fix, 0)
+                def fix(kk, _):
+                    m1 = kk + 1
+                    ins_key[k, pend[k] + kk] = \
+                        (lo_key[k] + q_div * m1 + (rem * m1) // kp1) | 1
+                    return 0
 
-        ok = act0 & (failed_u == 0)
-        n_ins = jnp.where(ok, k_ins, 0)
-        n_nodes2 = jnp.where(ok, nn0 + n_new, nn0)
+                jax.lax.fori_loop(0, k_ins[k] - pend[k], fix, 0)
 
-        # ---- phase 5: merge re-rank into scratch, then copy back --------- #
+        ok = [act0[k] & (failed_u[k] == 0) for k in KS]
+        n_ins = [jnp.where(ok[k], k_ins[k], 0) for k in KS]
+        n_nodes2 = [jnp.where(ok[k], nn0[k] + n_new[k], nn0[k]) for k in KS]
+
+        # ---- phase 5: merge re-rank into scratch, then copy back -------- #
         # The stable two-stream merge (see the module docstring for the
-        # correctness argument) reads the old order/col while producing the
-        # new ranking, so it targets the tmp_ord/tmp_col scratch; rank is
-        # node-indexed (write-only here) and updates in place.
-        def merge_body(nr, carry):
-            q, k, newcol, prev_key = carry
+        # correctness argument) reads the old order/col while producing
+        # the new ranking, so it targets the tmp_ord/tmp_col scratch; rank
+        # is node-indexed (write-only here) and updates in place.
+        m_act = [ok[k] & (n_ins[k] > 0) for k in KS]
+        max_nn2 = jnp.where(m_act[0], n_nodes2[0], 0)
+        for k in KS[1:]:
+            max_nn2 = jnp.maximum(max_nn2,
+                                  jnp.where(m_act[k], n_nodes2[k], 0))
+
+        def merge_body_k(k, nr, carry):
+            q, kk, newcol, prev_key = carry
+            live = m_act[k] & (nr < n_nodes2[k])
             qs = jnp.clip(q, 0, N)
-            old_key = jnp.where(q < nn0, st[0, R_COL, qs] * KEY_SCALE,
+            old_key = jnp.where(q < nn0[k], st[k, R_COL, qs] * KEY_SCALE,
                                 INT_MAX)
-            ik = jnp.where(k < n_ins,
-                           ins_key[jnp.clip(k, 0, LP - 1)], INT_MAX)
+            ik = jnp.where(kk < n_ins[k],
+                           ins_key[k, jnp.clip(kk, 0, LP - 1)], INT_MAX)
             take_ins = ik < old_key
             node = jnp.where(take_ins,
-                             ins_node[jnp.clip(k, 0, LP - 1)],
-                             st[0, R_ORDER, qs])
+                             ins_node[k, jnp.clip(kk, 0, LP - 1)],
+                             st[k, R_ORDER, qs])
             key = jnp.where(take_ins, ik, old_key)
-            newcol2 = newcol + (key != prev_key).astype(jnp.int32)
-            tmp_ord[nr] = node
-            tmp_col[nr] = newcol2
-            st[0, R_RANK, jnp.clip(node, 0, N)] = nr
-            return (q + (1 - take_ins.astype(jnp.int32)),
-                    k + take_ins.astype(jnp.int32), newcol2, key)
+            newcol2 = jnp.where(
+                live, newcol + (key != prev_key).astype(jnp.int32), newcol)
+
+            @pl.when(live)
+            def _():
+                tmp_ord[k, nr] = node
+                tmp_col[k, nr] = newcol2
+                st[k, R_RANK, jnp.clip(node, 0, N)] = nr
+
+            q2 = jnp.where(live, q + (1 - take_ins.astype(jnp.int32)), q)
+            kk2 = jnp.where(live, kk + take_ins.astype(jnp.int32), kk)
+            prev_key2 = jnp.where(live, key, prev_key)
+            return (q2, kk2, newcol2, prev_key2)
+
+        def merge_body(nr, carries):
+            return tuple(merge_body_k(k, nr, carries[k]) for k in KS)
 
         def copyback(nr, _):
-            st[0, R_ORDER, nr] = tmp_ord[nr]
-            st[0, R_COL, nr] = tmp_col[nr]
+            for k in KS:
+
+                @pl.when(m_act[k] & (nr < n_nodes2[k]))
+                def _(k=k):
+                    st[k, R_ORDER, nr] = tmp_ord[k, nr]
+                    st[k, R_COL, nr] = tmp_col[k, nr]
             return 0
 
         if stop_phase >= 5:
+            jax.lax.fori_loop(
+                0, max_nn2, merge_body,
+                tuple((jnp.int32(0), jnp.int32(0), jnp.int32(-1),
+                       jnp.int32(INT_MIN)) for _ in KS))
+            jax.lax.fori_loop(0, max_nn2, copyback, 0)
 
-            @pl.when(ok & (n_ins > 0))
-            def _():
-                jax.lax.fori_loop(0, n_nodes2, merge_body,
-                                  (jnp.int32(0), jnp.int32(0), jnp.int32(-1),
-                                   jnp.int32(INT_MIN)))
-                jax.lax.fori_loop(0, n_nodes2, copyback, 0)
-
-        # ---- phase 6: apply deferred deltas ------------------------------ #
+        # ---- phase 6: apply deferred deltas ----------------------------- #
         def apply_body(i, _):
-            idx = i
-            head = d_node[jnp.clip(idx, 0, LP - 1)]
-            flag = d_flag[jnp.clip(idx, 0, LP - 1)]
-            tail = d_tail[jnp.clip(idx, 0, LP - 1)]
-            w = d_w[jnp.clip(idx, 0, LP - 1)]
-            packed_slot = d_slot[jnp.clip(idx, 0, LP - 1)]
-            slot = packed_slot // (8 * (N + 1))
-            st[0, R_COV, head] = st[0, R_COV, head] + 1
+            for k in KS:
+                live = ok[k] & (i < ts[k])
+                idx = jnp.clip(i, 0, LP - 1)
+                head = d_node[k, idx]
+                flag = d_flag[k, idx]
+                tail = d_tail[k, idx]
+                w = d_w[k, idx]
+                packed_slot = d_slot[k, idx]
+                slot = packed_slot // (8 * (N + 1))
 
-            @pl.when(flag >= 2)   # deferred column-letter registration
-            def _():
-                rl = packed_slot - slot * 8 * (N + 1)
-                rep_n = rl // 8
-                lclip = rl - rep_n * 8
-                st[0, R_LETN + jnp.clip(lclip, 0, ALPHABET - 1),
-                   jnp.clip(rep_n, 0, N)] = head
+                @pl.when(live)
+                def _(k=k, head=head, flag=flag, tail=tail, w=w,
+                      packed_slot=packed_slot, slot=slot):
+                    st[k, R_COV, head] = st[k, R_COV, head] + 1
 
-            @pl.when(tail >= 0)
-            def _():
-                cnt_h = st[0, R_CNT, head]
-                new_slot = jnp.where(slot >= 0, slot, cnt_h)
+                    @pl.when(flag >= 2)  # deferred column-letter register
+                    def _():
+                        rl = packed_slot - slot * 8 * (N + 1)
+                        rep_n = rl // 8
+                        lclip = rl - rep_n * 8
+                        st[k, R_LETN + jnp.clip(lclip, 0, ALPHABET - 1),
+                           jnp.clip(rep_n, 0, N)] = head
 
-                @pl.when(new_slot == 0)
-                def _():
-                    st[0, R_P0, head] = tail
-                    st[0, R_PW0, head] = st[0, R_PW0, head] + w
+                    @pl.when(tail >= 0)
+                    def _():
+                        cnt_h = st[k, R_CNT, head]
+                        new_slot = jnp.where(slot >= 0, slot, cnt_h)
 
-                @pl.when(new_slot == 1)
-                def _():
-                    st[0, R_P1, head] = tail
-                    st[0, R_PW1, head] = st[0, R_PW1, head] + w
+                        @pl.when(new_slot == 0)
+                        def _():
+                            st[k, R_P0, head] = tail
+                            st[k, R_PW0, head] = st[k, R_PW0, head] + w
 
-                @pl.when(new_slot >= 2)
-                def _():
-                    st[0, jnp.clip(R_PREDS + new_slot, 0,
-                                   R_PREDS + P - 1), head] = tail
-                    hrow = noderow[0, jnp.clip(head, 0, N)]
-                    h2 = jnp.where(lane1 == LN_PREDW + new_slot, hrow + w,
-                                   hrow)
-                    noderow[0, jnp.clip(head, 0, N)] = h2
+                        @pl.when(new_slot == 1)
+                        def _():
+                            st[k, R_P1, head] = tail
+                            st[k, R_PW1, head] = st[k, R_PW1, head] + w
 
-                cnt_h2 = cnt_h + jnp.where(slot < 0, 1, 0)
-                st[0, R_CNT, head] = cnt_h2
+                        @pl.when(new_slot >= 2)
+                        def _():
+                            st[k, jnp.clip(R_PREDS + new_slot, 0,
+                                           R_PREDS + P - 1), head] = tail
+                            hrow = noderow[k, jnp.clip(head, 0, N)]
+                            h2 = jnp.where(lane1 == LN_PREDW + new_slot,
+                                           hrow + w, hrow)
+                            noderow[k, jnp.clip(head, 0, N)] = h2
+
+                        st[k, R_CNT, head] = cnt_h + jnp.where(slot < 0,
+                                                               1, 0)
 
             return 0
 
         if stop_phase >= 6:
+            jax.lax.fori_loop(0, max_ts, apply_body, 0)
 
-            @pl.when(ok)
-            def _():
-                jax.lax.fori_loop(0, ts, apply_body, 0)
-
-        st[0, R_MISC, 0] = n_nodes2
-        st[0, R_MISC, 1] = jnp.where(act0, failed_u, failed0)
+        for k in KS:
+            st[k, R_MISC, 0] = n_nodes2[k]
+            st[k, R_MISC, 1] = jnp.where(act0[k], failed_u[k], failed0[k])
 
     return kernel
 
@@ -755,11 +838,12 @@ def pack_layer_tiles(seq: np.ndarray, wts: np.ndarray, sub_l: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "n_cap", "p_cap", "sub_l", "match", "mismatch", "gap", "t_cap",
-    "interpret", "stop_phase"))
+    "interpret", "stop_phase", "interleave"))
 def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
                  n_cap: int, p_cap: int, sub_l: int, match: int,
                  mismatch: int, gap: int, t_cap: int,
-                 interpret: bool = False, stop_phase: int = 9):
+                 interpret: bool = False, stop_phase: int = 9,
+                 interleave: int = 1):
     """Build every window's POA graph for one chunk in a single kernel.
 
     backbone:     [B, L0] i32 codes (PAD beyond backbone_len)
@@ -767,17 +851,20 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
     backbone_len: [B] i32
     metas:        [D, B, 8] i32 (begin, end, full, length, active, 0, 0, 0)
     seq_t/wts_t:  [D, B, sub_l, 128] i32 shifted layer codes/weights
+    interleave:   windows per grid step (K); B must divide by it
 
     Returns (state, noderow): state [B, s_rows(p_cap), N+1] i32 packed
     scalar table, noderow [B, N+1, 1, 32] i32 pred-overflow weight rows.
     """
     D, B = metas.shape[0], metas.shape[1]
+    K = interleave
+    assert B % K == 0, f"B={B} not divisible by interleave={K}"
     N = n_cap
     Np1 = N + 1
     LP = sub_l * LANE
     L0 = backbone.shape[1]
     kernel = make_chunk_kernel(N, p_cap, sub_l, t_cap, match, mismatch, gap,
-                               stop_phase=stop_phase)
+                               stop_phase=stop_phase, K=K)
     metas = metas.reshape(D, B, 1, 8)
     seq_s = seq_t.reshape(D, B, 1, LP)
     wts_s = wts_t.reshape(D, B, 1, LP)
@@ -786,24 +873,24 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
     bbl3 = backbone_len.reshape(B, 1, 1)
 
     sds = jax.ShapeDtypeStruct
-    smem_b = lambda w: pl.BlockSpec((1, 1, w), lambda b, d: (b, 0, 0),
+    smem_b = lambda w: pl.BlockSpec((K, 1, w), lambda g, d: (g, 0, 0),
                                     memory_space=pltpu.SMEM)
-    smem_d = lambda w: pl.BlockSpec((1, 1, 1, w), lambda b, d: (d, b, 0, 0),
+    smem_d = lambda w: pl.BlockSpec((1, K, 1, w), lambda g, d: (d, g, 0, 0),
                                     memory_space=pltpu.SMEM)
     state, noderow = pl.pallas_call(
         kernel,
-        grid=(B, D),
+        grid=(B // K, D),
         in_specs=[
             smem_b(L0), smem_b(L0), smem_b(1),            # backbone
             smem_d(8),                                    # meta
-            pl.BlockSpec((1, 1, sub_l, LANE), lambda b, d: (d, b, 0, 0),
+            pl.BlockSpec((1, K, sub_l, LANE), lambda g, d: (d, g, 0, 0),
                          memory_space=pltpu.VMEM),        # seq tile
             smem_d(LP), smem_d(LP),                       # seq_s wts_s
         ],
         out_specs=[
-            pl.BlockSpec((1, s_rows(p_cap), Np1), lambda b, d: (b, 0, 0),
+            pl.BlockSpec((K, s_rows(p_cap), Np1), lambda g, d: (g, 0, 0),
                          memory_space=pltpu.SMEM),        # state
-            pl.BlockSpec((1, Np1, 1, NR_LANE), lambda b, d: (b, 0, 0, 0),
+            pl.BlockSpec((K, Np1, 1, NR_LANE), lambda g, d: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # noderow
         ],
         out_shape=[
@@ -811,19 +898,19 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
             sds((B, Np1, 1, NR_LANE), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Np1 * sub_l, LANE), jnp.int32),   # H (packed)
-            pltpu.SMEM((Np1,), jnp.int32),                # hs
-            pltpu.SMEM((LP,), jnp.int32),                 # pnode
-            pltpu.SMEM((LP,), jnp.int32),                 # ppos
-            pltpu.SMEM((LP,), jnp.int32),                 # ins_node
-            pltpu.SMEM((LP,), jnp.int32),                 # ins_key
-            pltpu.SMEM((LP,), jnp.int32),                 # d_node
-            pltpu.SMEM((LP,), jnp.int32),                 # d_tail
-            pltpu.SMEM((LP,), jnp.int32),                 # d_w
-            pltpu.SMEM((LP,), jnp.int32),                 # d_slot
-            pltpu.SMEM((LP,), jnp.int32),                 # d_flag
-            pltpu.SMEM((Np1,), jnp.int32),                # tmp_ord
-            pltpu.SMEM((Np1,), jnp.int32),                # tmp_col
+            pltpu.VMEM((K * Np1 * sub_l, LANE), jnp.int32),  # H (packed)
+            pltpu.SMEM((K, Np1), jnp.int32),              # hs
+            pltpu.SMEM((K, LP), jnp.int32),               # pnode
+            pltpu.SMEM((K, LP), jnp.int32),               # ppos
+            pltpu.SMEM((K, LP), jnp.int32),               # ins_node
+            pltpu.SMEM((K, LP), jnp.int32),               # ins_key
+            pltpu.SMEM((K, LP), jnp.int32),               # d_node
+            pltpu.SMEM((K, LP), jnp.int32),               # d_tail
+            pltpu.SMEM((K, LP), jnp.int32),               # d_w
+            pltpu.SMEM((K, LP), jnp.int32),               # d_slot
+            pltpu.SMEM((K, LP), jnp.int32),               # d_flag
+            pltpu.SMEM((K, Np1), jnp.int32),              # tmp_ord
+            pltpu.SMEM((K, Np1), jnp.int32),              # tmp_col
         ],
         interpret=interpret,
     )(bb3, bbw3, bbl3, metas, seq_t, seq_s, wts_s)

@@ -113,7 +113,7 @@ def main():
         t_polish = time.time() - t0
 
         polished = res[0].data
-        ed = rtlib.edit_distance(polished, genome.tobytes())
+        ed = rtlib.edit_distance_banded(polished, genome.tobytes())
         print(f"[scale] genome={genome_bp/1e6:.2f}Mb cov={args.coverage} "
               f"err={args.error} engine={args.engine} "
               f"tpu_align={args.tpu_align}", file=sys.stderr)

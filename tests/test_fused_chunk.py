@@ -127,7 +127,7 @@ def build_chunk_inputs(layers, sub_l):
 
 
 def run_parity(B, L0, L, D, N, P, seed, match=3, mismatch=-5, gap=-4,
-               every_prefix=True, partial=True):
+               every_prefix=True, partial=True, interleave=1):
     rng = np.random.RandomState(seed + 1000)
     state0, layers = random_problem(B, L0, L, D, N, P, seed, partial=partial)
     # take the backbone codes/lengths from the generated init state and
@@ -157,7 +157,7 @@ def run_parity(B, L0, L, D, N, P, seed, match=3, mismatch=-5, gap=-4,
             jnp.asarray(bb), jnp.asarray(bw_base), jnp.asarray(blen),
             metas, seq_t, wts_t, n_cap=N, p_cap=P, sub_l=sub_l,
             match=match, mismatch=mismatch, gap=gap, t_cap=t_cap,
-            interpret=True)
+            interpret=True, interleave=interleave)
         got = FC.unpack_chunk_state(st, nr, P)
         assert_states_equal(got, ref_states[Dp - 1], Dp - 1)
     return ref_states[-1]
@@ -189,6 +189,18 @@ class TestFusedChunkParity:
         st = run_parity(B=3, L0=40, L=96, D=10, N=256, P=2, seed=2,
                         every_prefix=False)
         assert bool(np.asarray(st.failed).any())
+
+    def test_interleaved_windows(self):
+        # K=2: two windows per grid step, serial phases interleaved
+        run_parity(B=4, L0=40, L=96, D=5, N=160, P=8, seed=14,
+                   interleave=2)
+
+    def test_interleaved_overflow(self):
+        # failures must stay per-window under interleaving
+        st = run_parity(B=4, L0=40, L=96, D=10, N=56, P=6, seed=1,
+                        every_prefix=False, interleave=2)
+        assert bool(np.asarray(st.failed).any())
+        assert not bool(np.asarray(st.failed).all())
 
     def test_narrow_rows(self):
         # sub_l = 1 (single 128-lane row)
