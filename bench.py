@@ -28,8 +28,9 @@ import time
 # same workload; recorded in BASELINE.md.  The TPU engine uses 4 host
 # threads for the (overlapped) download+consensus collect phase, like the
 # reference's threaded GPU runs.
-CPU_BASELINE_WINDOWS_PER_SEC = 38.2
-CPU_BASELINE_E2E_SEC = 10.65   # oracle end-to-end (init + polish), 1 core
+CPU_BASELINE_WINDOWS_PER_SEC = 44.5    # re-measured 2026-08-17 (idle)
+CPU_BASELINE_E2E_SEC = 4.22    # native end-to-end (init + polish), 1 core,
+#                                with the banded Myers align phase
 
 DATA = os.environ.get("RACON_TPU_BENCH_DATA", "/root/reference/test/data")
 
