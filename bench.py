@@ -23,6 +23,10 @@ import os
 import sys
 import time
 
+# persistent XLA compile cache: the chunk kernels take minutes to build;
+# a fresh process would otherwise recompile them every run
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 # Single-core CPU throughput of the native C++ oracle (spoa-class POA
 # implementation with identical semantics) measured on this host for the
 # same workload; recorded in BASELINE.md.  The TPU engine uses 4 host

@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # persistent XLA compile cache (the POA chunk kernels take minutes to
+    # compile; cache them across processes)
+    import os
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.jax_cache"))
+
     # multi-host: join the JAX coordination service when configured
     # (RACON_TPU_COORDINATOR/NUM_PROCESSES/PROCESS_ID); windows are then
     # sharded across processes and every host stitches the identical
