@@ -1636,24 +1636,37 @@ extern "C" void* rt_ovl_stream_next(void* handle, int64_t max_bytes,
                                     int fmt, int* error) {
   *error = 0;
   auto* s = static_cast<SeqStream*>(handle);
-  if (!stream_fill(s, static_cast<size_t>(max_bytes))) {
-    *error = 1;
-    return nullptr;
-  }
   auto* result = new BatchResult();
-  const char* begin = s->carry.data();
-  const size_t window = std::min(s->carry.size(),
-                                 static_cast<size_t>(max_bytes));
-  const char* end = begin + window;
-  const bool final = s->eof && window == s->carry.size();
-  const char* consumed = parse_overlap_lines(begin, end, fmt, final, result);
-  if (consumed == begin && window < s->carry.size()) {
-    // a single line longer than max_bytes: consume it whole
-    consumed = parse_overlap_lines(begin, begin + s->carry.size(), fmt,
-                                   s->eof, result);
+  size_t want = static_cast<size_t>(max_bytes);
+  while (true) {
+    if (!stream_fill(s, want)) {
+      *error = 1;
+      delete result;
+      return nullptr;
+    }
+    const char* begin = s->carry.data();
+    const size_t window = std::min(s->carry.size(),
+                                   static_cast<size_t>(max_bytes));
+    const bool final = s->eof && window == s->carry.size();
+    const char* consumed =
+        parse_overlap_lines(begin, begin + window, fmt, final, result);
+    if (consumed == begin && window < s->carry.size()) {
+      // a single line longer than max_bytes: consume it whole
+      consumed = parse_overlap_lines(begin, begin + s->carry.size(), fmt,
+                                     s->eof, result);
+    }
+    s->carry.erase(0, static_cast<size_t>(consumed - begin));
+    if (!result->items.empty() || s->eof) {
+      // at EOF the final=true parse consumes even an unterminated last
+      // line, so an empty result here really is end-of-stream
+      if (s->eof && result->items.empty()) s->carry.clear();
+      return result;
+    }
+    // the carry holds only part of one line (possibly longer than
+    // max_bytes): read more and retry, never returning a spurious
+    // empty chunk mid-stream
+    want = s->carry.size() + (1 << 20);
   }
-  s->carry.erase(0, static_cast<size_t>(consumed - begin));
-  return result;
 }
 
 extern "C" void* rt_open_seq_stream(const char* path, int is_fastq) {

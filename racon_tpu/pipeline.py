@@ -239,9 +239,16 @@ class Polisher:
                 if sequence.quality or sequence.reverse_quality:
                     quality = (sequence.reverse_quality if o.strand
                                else sequence.quality)
-                    qsum = sum(quality[bps[j][1]:bps[j + 1][1]]) \
-                        - 33 * (bps[j + 1][1] - bps[j][1])
-                    if qsum / (bps[j + 1][1] - bps[j][1]) < self.quality_threshold:
+                    # vectorized mean-phred filter (no per-base Python
+                    # loop; same integer arithmetic as the reference,
+                    # src/polisher.cpp:424-437)
+                    import numpy as _np
+                    span = bps[j + 1][1] - bps[j][1]
+                    qsum = int(_np.frombuffer(
+                        quality, _np.uint8
+                    )[bps[j][1]:bps[j + 1][1]].sum(dtype=_np.int64)) \
+                        - 33 * span
+                    if qsum / span < self.quality_threshold:
                         continue
 
                 window_id = (id_to_first_window_id[o.t_id] + bps[j][0] // w)

@@ -145,3 +145,26 @@ def test_chunked_ingest_matches_whole_file():
     for a, b in zip(whole, chunked):
         assert a.name == b.name and a.data == b.data \
             and a.quality == b.quality
+
+
+def test_overlap_chunked_ingest_matches_whole_file():
+    """Streamed 1 GiB-chunk overlap ingest is record-identical to the
+    whole-file parse across chunk sizes and formats (the reference's
+    chunked ingest must not change results, src/polisher.cpp:311-349)."""
+    from racon_tpu.io import parsers
+
+    for name in ("sample_overlaps.paf.gz", "sample_overlaps.sam.gz",
+                 "sample_ava_overlaps.mhap.gz"):
+        path = f"{REFERENCE_DATA}/{name}"
+        if not os.path.exists(path):
+            continue
+        whole = parsers.parse_overlaps(path)
+        for chunk_bytes in (4096, 1 << 20):
+            chunks = list(parsers.iter_overlap_chunks(path, chunk_bytes))
+            flat = [o for c in chunks for o in c]
+            assert len(flat) == len(whole)
+            for a, b in zip(flat, whole):
+                assert (a.q_name, a.t_name, a.q_begin, a.q_end, a.t_begin,
+                        a.t_end, a.strand, a.cigar) == \
+                       (b.q_name, b.t_name, b.q_begin, b.q_end, b.t_begin,
+                        b.t_end, b.strand, b.cigar)
