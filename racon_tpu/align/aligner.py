@@ -3,13 +3,15 @@ arrive without one (MHAP/PAF inputs).
 
 Plays the role of edlib in the reference (src/overlap.cpp:205-224): global
 (NW) alignment of a read segment against a contig segment at unit edit
-costs.  Two implementations:
+costs.  Three implementations:
 
-  * the native C++ O(ND) aligner (racon_tpu.native) — the production path,
+  * the native C++ banded Myers bit-vector aligner with traceback
+    (racon_tpu.native, NativeAligner default) — the production path,
     multi-threaded over overlap batches,
+  * the native C++ O(ND) wavefront (NativeAligner algo=-1),
   * a pure-Python O(ND) Myers diff fallback for small inputs/tests.
 
-Both produce an optimal unit-cost alignment; tie-breaking between equal-cost
+All produce an optimal unit-cost alignment; tie-breaking between equal-cost
 paths may differ from edlib's, which can shift individual breaking points
 (the reference's own GPU path has the same property,
 test/racon_test.cpp:297-507).
