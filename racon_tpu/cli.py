@@ -96,7 +96,7 @@ def main(argv=None) -> int:
         args.window_length, args.quality_threshold, args.error_threshold,
         not args.no_trimming, args.match, args.mismatch, args.gap,
         args.threads, engine=args.engine, tpu_align=args.tpu_align,
-        band_width=args.band_width)
+        band_width=args.band_width, batch_size=args.batch_size)
     polisher.initialize()
     polished = polisher.polish(not args.include_unpolished)
 

@@ -41,7 +41,7 @@ def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
                     match: int = 3, mismatch: int = -5, gap: int = -4,
                     num_threads: int = 1, engine: str = "auto",
                     tpu_align: bool = False,
-                    band_width: int = 0) -> "Polisher":
+                    band_width: int = 0, batch_size: int = 32) -> "Polisher":
     """Factory with the reference's validation surface
     (reference: src/polisher.cpp:57-163)."""
     if not isinstance(type, PolisherType):
@@ -62,7 +62,7 @@ def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
     return Polisher(sequences_path, overlaps_path, target_path, type,
                     window_length, quality_threshold, error_threshold, trim,
                     match, mismatch, gap, num_threads, engine, tpu_align,
-                    band_width)
+                    band_width, batch_size)
 
 
 class Polisher:
@@ -71,7 +71,7 @@ class Polisher:
                  quality_threshold: float, error_threshold: float, trim: bool,
                  match: int, mismatch: int, gap: int, num_threads: int,
                  engine: str = "auto", tpu_align: bool = False,
-                 band_width: int = 0):
+                 band_width: int = 0, batch_size: int = 32):
         self.sequences_path = sequences_path
         self.overlaps_path = overlaps_path
         self.target_path = target_path
@@ -87,6 +87,7 @@ class Polisher:
         self.engine_name = engine
         self.tpu_align = tpu_align
         self.band_width = band_width
+        self.batch_size = batch_size
 
         self.sequences: List[Sequence] = []
         self.windows: List[Window] = []
@@ -334,6 +335,7 @@ class Polisher:
             try:
                 from racon_tpu.poa.batched import BatchedPOAEngine
                 return BatchedPOAEngine(self.match, self.mismatch, self.gap,
+                                        batch_size=self.batch_size,
                                         num_threads=self.num_threads)
             except Exception as e:  # pragma: no cover
                 print(f"[racon_tpu::Polisher.polish] warning: TPU engine "
