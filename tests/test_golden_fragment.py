@@ -28,7 +28,8 @@ def test_fragment_kc_ava_paf():
               PolisherType.kC, True)
     total = sum(len(d.data) for d in dst)
     assert len(dst) == 40                 # reference golden: 40
-    assert total == 401187                # racon_tpu pinned (ref 401246)
+    assert total == 401229                # racon_tpu pinned (ref 401246;
+    #                                       banded Myers host aligner)
 
 
 @needs_data
@@ -38,7 +39,8 @@ def test_fragment_kf_ava_paf_full():
               PolisherType.kF, False)
     total = sum(len(d.data) for d in dst)
     assert len(dst) == 236
-    assert total == 1657961               # racon_tpu pinned (ref 1658216)
+    assert total == 1657992               # racon_tpu pinned (ref 1658216;
+    #                                       banded Myers host aligner)
     assert all(d.name.split(" ")[0].endswith("r") for d in dst)
 
 
@@ -50,7 +52,7 @@ def test_fragment_kf_ava_mhap_matches_paf():
     total = sum(len(d.data) for d in dst)
     # same property as the reference: MHAP and PAF inputs give identical
     # totals (racon_test.cpp:288-294 vs :252-258)
-    assert (len(dst), total) == (236, 1657961)
+    assert (len(dst), total) == (236, 1657992)
 
 
 @needs_data
@@ -60,4 +62,5 @@ def test_fragment_kf_ava_paf_fasta():
               PolisherType.kF, False)
     total = sum(len(d.data) for d in dst)
     assert len(dst) == 236
-    assert total == 1663252               # racon_tpu pinned (ref 1663982)
+    assert total == 1663245               # racon_tpu pinned (ref 1663982;
+    #                                       banded Myers host aligner)
