@@ -362,8 +362,14 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                                                 (q, anyv))
                 return q, anyv
 
-            q, anyv = jax.lax.cond(cntv >= 3, deep_preds, lambda qa: qa,
-                                   (q, anyv))
+            if stop_phase == 31:
+                # abort-bisect variant: no lax.cond (always-executed
+                # masked deep slots) — K>1 emits one cond per window per
+                # iteration, a suspect for the K=2 device abort
+                q, anyv = deep_preds((q, anyv))
+            else:
+                q, anyv = jax.lax.cond(cntv >= 3, deep_preds,
+                                       lambda qa: qa, (q, anyv))
 
             virt = jnp.where(~anyv, jgapm[k], NEG)
             q = jnp.maximum(

@@ -30,7 +30,7 @@ for b in range(B):
 metas, seq_t, wts_t = build_chunk_inputs(layers, SUB_L)
 
 phases = ([int(sys.argv[1])] if len(sys.argv) > 1
-          else [-1, 1, 2, 3, 4, 5, 6, 9])
+          else [-1, 1, 31, 2, 3, 4, 5, 6, 9])
 for phase in phases:
     try:
         st, nr = FC.polish_chunk(
