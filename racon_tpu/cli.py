@@ -11,7 +11,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from racon_tpu.version import __version__
+from racon_tpu.version import version_string
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -68,7 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference: cudaaligner-band-width, "
                         "src/cuda/cudapolisher.cpp:150-163)")
     p.add_argument("--version", action="version",
-                   version=f"v{__version__}")
+                   version=version_string)
     return p
 
 

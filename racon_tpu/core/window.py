@@ -68,6 +68,23 @@ class Window:
                 f"layers={len(self.sequences) - 1})")
 
 
+def layer_order(window: "Window") -> List[int]:
+    """Layer processing order (indices into window.sequences, 1-based
+    members): the reference sorts layers by begin with UNSTABLE std::sort
+    (src/window.cpp:79-86), whose equal-key permutation changes the POA
+    graph — every engine adds layers in this exact order (rt_layer_sort
+    replicates the libstdc++ introsort call bit-exactly)."""
+    n = len(window.sequences) - 1
+    if n <= 0:
+        return []
+    begins = [window.positions[i][0] for i in range(1, n + 1)]
+    try:
+        from racon_tpu.native import rtlib
+        return [int(i) + 1 for i in rtlib.layer_sort(begins)]
+    except Exception:  # pragma: no cover - no compiler available
+        return sorted(range(1, n + 1), key=lambda i: begins[i - 1])
+
+
 def trim_consensus(consensus: bytes, coverages, n_sequences: int,
                    window_id: int, window_rank: int) -> bytes:
     """kTGS end-trim: clip consensus ends whose coverage is below half the

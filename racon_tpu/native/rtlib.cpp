@@ -481,6 +481,16 @@ struct BatchResult {
 
 constexpr int64_t kKeyScale = 1 << 16;
 
+// RT_TOPO_MODE=1 ranks nodes with spoa's exact DFS topological sort
+// (divergence experiment) instead of the incremental column-key order.
+static int rt_topo_mode() {
+  static const int m = [] {
+    const char* e = getenv("RT_TOPO_MODE");
+    return e ? atoi(e) : 0;
+  }();
+  return m;
+}
+
 struct PoaGraph {
   std::vector<int8_t> codes;
   std::vector<std::vector<int32_t>> preds;
@@ -490,6 +500,7 @@ struct PoaGraph {
   std::vector<int32_t> col;                     // node -> column id
   std::vector<int64_t> col_key;                 // column id -> key (or -1)
   std::vector<std::vector<int32_t>> col_members;
+  std::vector<std::vector<int32_t>> aligned;    // spoa per-node aligned lists
   int64_t n_cols = 0;
   std::vector<int32_t> order;                   // rank -> node
   std::vector<int32_t> rank;                    // node -> rank
@@ -504,7 +515,57 @@ struct PoaGraph {
     col.push_back(id);
     col_key.push_back(key);
     col_members.push_back({id});
+    aligned.emplace_back();
     return id;
+  }
+
+  // spoa 4.0.8 Graph::TopologicalSort: DFS over node ids with in-edge
+  // dependencies; aligned-node groups are pulled together and emitted
+  // contiguously as [first-reached member, its aligned list].  Inserted
+  // runs land just before their first demander (hi anchor) rather than
+  // at interpolated positions — the residual rank-order difference vs
+  // the column-key scheme.
+  void spoa_topo_sort() {
+    const int32_t n = static_cast<int32_t>(codes.size());
+    order.clear();
+    std::vector<uint8_t> marks(n, 0);
+    std::vector<uint8_t> check(n, 1);
+    std::vector<int32_t> stack;
+    for (int32_t s = 0; s < n; ++s) {
+      if (marks[s]) continue;
+      stack.push_back(s);
+      while (!stack.empty()) {
+        const int32_t v = stack.back();
+        bool valid = true;
+        if (marks[v] != 2) {
+          for (int32_t p : preds[v]) {
+            if (marks[p] != 2) {
+              stack.push_back(p);
+              valid = false;
+            }
+          }
+          if (check[v]) {
+            for (int32_t a : aligned[v]) {
+              if (marks[a] != 2) {
+                stack.push_back(a);
+                check[a] = 0;
+                valid = false;
+              }
+            }
+          }
+          if (valid) {
+            marks[v] = 2;
+            if (check[v]) {
+              order.push_back(v);
+              for (int32_t a : aligned[v]) order.push_back(a);
+            }
+          }
+        }
+        if (valid) stack.pop_back();
+      }
+    }
+    rank.assign(n, 0);
+    for (int32_t r = 0; r < n; ++r) rank[order[r]] = r;
   }
 
   void add_edge(int32_t tail, int32_t head, int64_t weight) {
@@ -540,6 +601,7 @@ struct PoaGraph {
     for (int32_t r = 0; r < static_cast<int32_t>(order.size()); ++r) {
       rank[order[r]] = r;
     }
+    if (rt_topo_mode() == 1) spoa_topo_sort();  // keys stay as anchors only
   }
 
   int64_t node_key(int32_t nid) const { return col_key[col[nid]]; }
@@ -741,6 +803,15 @@ struct PoaGraph {
           col_members[new_id].clear();
           col[new_id] = c;
           col_members[c].push_back(new_id);
+          // spoa aligned-list update rule (Graph::AddAlignment): the
+          // anchor is the MATCHED node nid, its aligned list first, the
+          // anchor itself last
+          for (int32_t a : aligned[nid]) {
+            aligned[a].push_back(new_id);
+            aligned[new_id].push_back(a);
+          }
+          aligned[nid].push_back(new_id);
+          aligned[new_id].push_back(nid);
           resolved[i] = new_id;
         }
       } else {
@@ -788,14 +859,22 @@ struct PoaGraph {
       return idx == -1 ? s[n - 1] : s[idx];
     };
 
+    // RT_CONS_TIE=1 flips the equal-weight rule to keep the FIRST edge
+    // (divergence experiments; default matches spoa's `<=` = last wins)
+    static const int cons_tie = [] {
+      const char* e = getenv("RT_CONS_TIE");
+      return e ? atoi(e) : 0;
+    }();
     int32_t max_v = -1;
     for (int64_t r = 0; r < n; ++r) {
       const int32_t v = order[r];
       for (size_t k = 0; k < preds[v].size(); ++k) {
         const int32_t p = preds[v][k];
         const int64_t w = pred_w[v][k];
-        if (scores[v] < w ||
-            (scores[v] == w && sc(scores, pred_choice[v]) <= scores[p])) {
+        const bool tie_take = cons_tie
+            ? sc(scores, pred_choice[v]) < scores[p]
+            : sc(scores, pred_choice[v]) <= scores[p];
+        if (scores[v] < w || (scores[v] == w && tie_take)) {
           scores[v] = w;
           pred_choice[v] = p;
         }
@@ -862,6 +941,8 @@ const int8_t* kEncode = [] {
 
 constexpr char kDecode[] = "ACGTN";
 
+extern "C" void rt_layer_sort(const int32_t* begins, int64_t n, int32_t* out);
+
 // One window consensus, mirroring racon_tpu/poa/consensus.py.
 std::string polish_one_window(
     const uint8_t* backbone, int64_t bb_len, const uint8_t* bb_qual,
@@ -895,11 +976,27 @@ std::string polish_one_window(
     graph.add_alignment(empty, bb.data(), bb_len, w.data());
   }
 
-  // stable sort layers by begin
+  // Layer order by begin position.  The reference sorts with UNSTABLE
+  // std::sort (src/window.cpp:85-86) over ranks [1..n]; for windows with
+  // >16 layers libstdc++ introsort permutes equal-begin layers away from
+  // input order, and the layer ADD ORDER changes the graph.  Replicating
+  // the exact call (same range values, same comparator, same libstdc++)
+  // reproduces the reference's permutation bit-exactly.
+  // RT_SORT_MODE=0 forces the old stable sort (A/B experiments).
   std::vector<int64_t> layer_order(n_layers);
-  for (int64_t i = 0; i < n_layers; ++i) layer_order[i] = i;
-  std::stable_sort(layer_order.begin(), layer_order.end(),
-                   [&](int64_t a, int64_t b) { return begins[a] < begins[b]; });
+  static const int sort_mode = [] {
+    const char* e = getenv("RT_SORT_MODE");
+    return e ? atoi(e) : 1;
+  }();
+  if (sort_mode == 1) {
+    std::vector<int32_t> perm(n_layers);
+    rt_layer_sort(begins, n_layers, perm.data());
+    for (int64_t i = 0; i < n_layers; ++i) layer_order[i] = perm[i];
+  } else {
+    for (int64_t i = 0; i < n_layers; ++i) layer_order[i] = i;
+    std::stable_sort(layer_order.begin(), layer_order.end(),
+                     [&](int64_t a, int64_t b) { return begins[a] < begins[b]; });
+  }
 
   const uint32_t offset = static_cast<uint32_t>(0.01 * bb_len);
   std::vector<std::pair<int32_t, int32_t>> alignment;
@@ -944,6 +1041,22 @@ std::string polish_one_window(
 }  // namespace
 
 extern "C" {
+
+// Layer processing order for one window: replicates the reference's
+// UNSTABLE std::sort over ranks [1..n] keyed by layer begin position
+// (reference: src/window.cpp:79-86).  libstdc++ introsort permutes
+// equal-begin layers away from input order for >16 elements, and the
+// layer add order changes the POA graph — every engine must share this
+// exact permutation (out[i] = 0-based layer index of the i-th layer to
+// add).
+void rt_layer_sort(const int32_t* begins, int64_t n, int32_t* out) {
+  std::vector<uint32_t> rank(n + 1);
+  for (int64_t i = 0; i <= n; ++i) rank[i] = static_cast<uint32_t>(i);
+  std::sort(rank.begin() + 1, rank.end(), [&](uint32_t lhs, uint32_t rhs) {
+    return begins[lhs - 1] < begins[rhs - 1];
+  });
+  for (int64_t i = 0; i < n; ++i) out[i] = static_cast<int32_t>(rank[i + 1]) - 1;
+}
 
 // Align a batch of (query, target) pairs; returns an opaque result handle.
 // algo: -1 = O(ND) wavefront, 0..5 = banded Myers with traceback order.

@@ -65,6 +65,21 @@ _lib.rt_consensus_batch.argtypes = [
 ]
 
 
+_lib.rt_layer_sort.restype = None
+_lib.rt_layer_sort.argtypes = [_I32P, ctypes.c_int64, _I32P]
+
+
+def layer_sort(begins) -> np.ndarray:
+    """Layer processing order (0-based indices), replicating the
+    reference's unstable std::sort by begin position (src/window.cpp:85-86)
+    bit-exactly — all engines must add layers in this order."""
+    b = np.ascontiguousarray(begins, dtype=np.int32)
+    out = np.empty(len(b), dtype=np.int32)
+    _lib.rt_layer_sort(b.ctypes.data_as(_I32P), len(b),
+                       out.ctypes.data_as(_I32P))
+    return out
+
+
 def _concat(seqs: Sequence[bytes]):
     offs = np.zeros(len(seqs) + 1, dtype=np.int64)
     np.cumsum([len(s) for s in seqs], out=offs[1:])

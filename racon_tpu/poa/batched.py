@@ -20,7 +20,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from racon_tpu.core.window import Window, WindowType, trim_consensus
+from racon_tpu.core.window import (Window, WindowType, layer_order,
+                                   trim_consensus)
 from racon_tpu.poa.consensus_host import consensus_from_arrays
 from racon_tpu.poa.graph import decode, encode
 from racon_tpu.core.window import Window
@@ -28,6 +29,20 @@ from racon_tpu.core.window import Window
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# Depth is a grid dimension of the chunk kernel, so every distinct padded
+# depth is a separate (minutes-long) compile.  Pad to a short ladder: at
+# most ~10 shapes ever, and idle layer steps cost only the per-grid-step
+# overhead (all phases no-op when the layer is inactive).
+_DEPTH_LADDER = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+
+
+def _depth_ladder(d: int) -> int:
+    for v in _DEPTH_LADDER:
+        if d <= v:
+            return v
+    return _round_up(d, 64)
 
 
 # VMEM budget for the chunk kernel's on-chip H matrix; the rest of the
@@ -43,13 +58,21 @@ class BatchedPOAEngine:
                  node_factor: float = 3.5, mesh=None,
                  use_pallas: Optional[bool] = None,
                  mode: Optional[str] = None, num_threads: int = 4,
-                 devices=None):
+                 devices=None, interleave: Optional[int] = None):
+        import os
         self.match = match
         self.num_threads = max(1, num_threads)
         self.mismatch = mismatch
         self.gap = gap
         self.batch_size = batch_size
         self.p_cap = p_cap
+        if interleave is None:
+            interleave = int(os.environ.get("RACON_TPU_K", "1"))
+        # K independent window streams per grid step fill the serial POA
+        # phases' latency stalls (fused_chunk.py); K must divide the batch
+        self.interleave = max(1, interleave)
+        while self.batch_size % self.interleave:
+            self.interleave -= 1
         self.node_factor = node_factor
         self.mesh = mesh
         if mode is None:
@@ -246,8 +269,7 @@ class BatchedPOAEngine:
             backbone_len[b] = len(bb)
             offset = int(0.01 * len(bb))
 
-            order = sorted(range(1, len(w.sequences)),
-                           key=lambda k: w.positions[k][0])
+            order = layer_order(w)
             for d, k in enumerate(order):
                 s = encode(w.sequences[k])
                 seq[d, b, :len(s)] = s
@@ -266,7 +288,7 @@ class BatchedPOAEngine:
         if mode == "fused":
             from racon_tpu.poa import fused_chunk as FC
             sub_l = -(-(L + 1) // 128)
-            Dp = _round_up(max(D, 1), 4)
+            Dp = _depth_ladder(D)
             metas = np.zeros((Dp, Bp, 8), np.int32)
             metas[:D, :, 0] = begin
             metas[:D, :, 1] = end
@@ -284,7 +306,7 @@ class BatchedPOAEngine:
                 put(metas), put(seq_t), put(wts_t), n_cap=N,
                 p_cap=p_cap, sub_l=sub_l, match=self.match,
                 mismatch=self.mismatch, gap=self.gap, t_cap=t_cap,
-                interpret=FC.INTERPRET)
+                interpret=FC.INTERPRET, interleave=self.interleave)
             packed = FC.pack_for_download_chunk(st, nr, p_cap=p_cap)
         else:
             state = E.init_graphs(put(backbone), put(backbone_w),

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
-from racon_tpu.core.window import Window, WindowType, trim_consensus
+from racon_tpu.core.window import (Window, WindowType, layer_order,
+                                   trim_consensus)
 from racon_tpu.poa.graph import (POAGraph, decode, encode,
                                  weights_from_quality)
 
@@ -30,8 +31,7 @@ def consensus_window(window: Window, match: int, mismatch: int, gap: int,
                         weights_from_quality(window.qualities[0],
                                              len(backbone)))
 
-    order = sorted(range(1, len(window.sequences)),
-                   key=lambda i: window.positions[i][0])
+    order = layer_order(window)
 
     offset = int(0.01 * len(backbone))
     for i in order:

@@ -171,7 +171,7 @@ def _extract_lane(row, idx, width: int):
 
 def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                       mismatch: int, gap: int, stop_phase: int = 9,
-                      K: int = 1):
+                      K: int = 1, grid_d: int = 0):
     """Kernel body: grid (B//K, D); one call builds every window's POA
     graph, processing K windows per grid step with their serial phases
     INTERLEAVED (every per-window loop — DP over ranks, traceback, graph
@@ -200,9 +200,10 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
     KS = list(range(K))
 
     def kernel(bb_ref, bbw_ref, bbl_ref, meta_ref, seq_ref, seq_s, wts_s,
-               st, noderow,
-               H, hs, pnode, ppos, ins_node, ins_key,
-               d_node, d_tail, d_w, d_slot, d_flag, tmp_ord, tmp_col):
+               st_out, noderow,
+               st, H, hs, pnode, ppos, ins_node, ins_key,
+               d_node, d_tail, d_w, d_slot, d_flag, tmp_ord, tmp_col,
+               copy_sem):
         d_id = pl.program_id(1)
         m_i = jnp.int32(match)
         x_i = jnp.int32(mismatch)
@@ -326,7 +327,14 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
 
         def dp_body_k(k, i, guard, minrow):
             r = jnp.minimum(rb[k] + i, N)
-            v = st[k, R_ORDER, r]
+            # guard-false iterations (this window's span < max_span, K>1)
+            # land on R_ORDER entries beyond the ranked prefix whose
+            # contents are UNDEFINED (outputs don't carry input contents;
+            # [blen, N) is never initialized) — mask to the N sentinel and
+            # clamp, or the garbage id indexes SMEM out of bounds (the
+            # K=2 device abort) and a garbage cntv can spin the deep-pred
+            # fori_loop for ~2^31 iterations (the tunnel wedge)
+            v = jnp.where(guard, jnp.clip(st[k, R_ORDER, r], 0, N), N)
             cntv = st[k, R_CNT, v]
             code_v = st[k, R_CODES, v]
             prof16 = jnp.where(seq_tile[k] == code_v, m_i << 16, x_i << 16)
@@ -443,15 +451,19 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             vr, j, ts_k, done = state
             live = done == 0
             at_virtual = vr == N
-            vs = (k * (N + 1) + jnp.clip(vr, 0, N)) * SUB + j // LANE
-            packed = _extract_lane(H[pl.ds(vs, 1)], j % LANE, LANE)
+            # clamp j for the address: a dead stream (or corrupt moves)
+            # can leave j negative, which would underflow the H row index
+            jc = jnp.clip(j, 0, LP - 1)
+            vs = (k * (N + 1) + jnp.clip(vr, 0, N)) * SUB + jc // LANE
+            packed = _extract_lane(H[pl.ds(vs, 1)], jc % LANE, LANE)
             move = jnp.where(
                 at_virtual, HORIZ,
                 CODE_INV - (jax.lax.shift_right_arithmetic(
                     packed, jnp.int32(CODE_SHIFT)) & CODE_INV))
             # re-derive the predecessor rank from the slot code (the
-            # packed cell no longer carries it): pid = preds[slot][node]
-            vnode = st[k, R_ORDER, jnp.clip(vr, 0, N)]
+            # packed cell no longer carries it): pid = preds[slot][node];
+            # clamp the id — R_ORDER beyond the ranked prefix is undefined
+            vnode = jnp.clip(st[k, R_ORDER, jnp.clip(vr, 0, N)], 0, N)
             slot = jnp.where(move < P, move,
                              jnp.clip(move - P - 1, 0, P - 1))
             pid = st[k, R_PREDS + jnp.clip(slot, 0, P - 1), vnode]
@@ -465,8 +477,9 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
 
             @pl.when(live & store)
             def _():
-                pnode[k, ts_k] = jnp.where(is_horiz, -1, vnode)
-                ppos[k, ts_k] = j - 1
+                tsc = jnp.clip(ts_k, 0, LP - 1)
+                pnode[k, tsc] = jnp.where(is_horiz, -1, vnode)
+                ppos[k, tsc] = j - 1
 
             ts2 = jnp.where(live, ts_k + store.astype(jnp.int32), ts_k)
             j2 = jnp.where(live & ~is_vert, j - 1, j)
@@ -515,7 +528,10 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
              failed) = carry
             idx = ts[k] - 1 - i
             act = (failed == 0) & (i < ts[k])
-            v = pnode[k, jnp.clip(idx, 0, LP - 1)]
+            # inactive iterations (i >= ts[k], K>1) read scratch entries
+            # this layer never wrote — garbage would flow into the node
+            # indices below, so mask to the benign -1/horiz form
+            v = jnp.where(act, pnode[k, jnp.clip(idx, 0, LP - 1)], -1)
             pos = ppos[k, jnp.clip(idx, 0, LP - 1)]
             jj = jnp.clip(pos + 1, 0, LP - 1)
             letter = seq_s[0, k, 0, jj]
@@ -592,17 +608,18 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                 st[k, R_LETN + lclip, new_id] = new_id
 
             # edge slot resolution against pre-layer state (heads are
-            # touched at most once per layer, so pre-merge reads are exact)
-            cnt_h = jnp.where(create, 0, st[k, R_CNT, resolved])
+            # touched at most once per layer, so pre-merge reads are exact;
+            # all reads go through the clamped id — see the K>1 note above)
+            rsafe = jnp.clip(resolved, 0, N)
+            cnt_h = jnp.where(create, 0, st[k, R_CNT, rsafe])
             hit0 = has_tail & (cnt_h >= 1) & \
-                (st[k, R_P0, resolved] == prev_res)
+                (st[k, R_P0, rsafe] == prev_res)
             hit1 = has_tail & (cnt_h >= 2) & \
-                (st[k, R_P1, resolved] == prev_res)
+                (st[k, R_P1, rsafe] == prev_res)
 
             # deep-slot scan: statically unrolled masked SMEM reads (no
             # dynamic-trip loop; prev_res = -1 never matches a slot, so
             # the has_tail guard is implicit)
-            rsafe = jnp.clip(resolved, 0, N)
             deep = jnp.int32(-1)
             for p in range(2, P):
                 pid = st[k, R_PREDS + p, rsafe]
@@ -755,6 +772,8 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                 packed_slot = d_slot[k, idx]
                 slot = packed_slot // (8 * (N + 1))
 
+                head = jnp.clip(head, 0, N)
+
                 @pl.when(live)
                 def _(k=k, head=head, flag=flag, tail=tail, w=w,
                       packed_slot=packed_slot, slot=slot):
@@ -803,6 +822,17 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
         for k in KS:
             st[k, R_MISC, 0] = n_nodes2[k]
             st[k, R_MISC, 1] = jnp.where(act0[k], failed_u[k], failed0[k])
+
+        # ---- flush: state scratch -> VMEM output on the last layer ------ #
+        # The working table is SMEM SCRATCH (persistent across the whole
+        # grid, single-buffered) rather than an SMEM output block (which
+        # Pallas double-buffers — at K=2/p_cap=12 that alone blew the SMEM
+        # budget).  One DMA per window moves it into the VMEM output block.
+        @pl.when(d_id == grid_d - 1)
+        def _():
+            dma = pltpu.make_async_copy(st, st_out, copy_sem)
+            dma.start()
+            dma.wait()
 
     return kernel
 
@@ -870,7 +900,7 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
     LP = sub_l * LANE
     L0 = backbone.shape[1]
     kernel = make_chunk_kernel(N, p_cap, sub_l, t_cap, match, mismatch, gap,
-                               stop_phase=stop_phase, K=K)
+                               stop_phase=stop_phase, K=K, grid_d=D)
     metas = metas.reshape(D, B, 1, 8)
     seq_s = seq_t.reshape(D, B, 1, LP)
     wts_s = wts_t.reshape(D, B, 1, LP)
@@ -895,7 +925,7 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
         ],
         out_specs=[
             pl.BlockSpec((K, s_rows(p_cap), Np1), lambda g, d: (g, 0, 0),
-                         memory_space=pltpu.SMEM),        # state
+                         memory_space=pltpu.VMEM),        # state (DMA'd)
             pl.BlockSpec((K, Np1, 1, NR_LANE), lambda g, d: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # noderow
         ],
@@ -904,6 +934,7 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
             sds((B, Np1, 1, NR_LANE), jnp.int32),
         ],
         scratch_shapes=[
+            pltpu.SMEM((K, s_rows(p_cap), Np1), jnp.int32),  # state table
             pltpu.VMEM((K * Np1 * sub_l, LANE), jnp.int32),  # H (packed)
             pltpu.SMEM((K, Np1), jnp.int32),              # hs
             pltpu.SMEM((K, LP), jnp.int32),               # pnode
@@ -917,6 +948,7 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
             pltpu.SMEM((K, LP), jnp.int32),               # d_flag
             pltpu.SMEM((K, Np1), jnp.int32),              # tmp_ord
             pltpu.SMEM((K, Np1), jnp.int32),              # tmp_col
+            pltpu.SemaphoreType.DMA(()),                  # state-flush sem
         ],
         interpret=interpret,
     )(bb3, bbw3, bbl3, metas, seq_t, seq_s, wts_s)

@@ -2,10 +2,14 @@
 
 The reference pins exact edit distances for its CPU path
 (test/racon_test.cpp:86-294); its own GPU path diverges from those
-(test/racon_test.cpp:297-507).  racon_tpu's POA semantics are a documented
-reconstruction, so we pin our own exact values (determinism guard) and
-assert they stay within a small margin of the reference goldens
-(accuracy guard).
+(test/racon_test.cpp:297-507).
+
+Round-3 status: replicating the reference's unstable layer sort
+(src/window.cpp:85-86, rt_layer_sort) closed almost the whole gap —
+fasta+SAM and fastq+PAF w=1000 now match the reference EXACTLY (1770,
+1289); fastq+SAM is 2 ED better (1315 vs 1317); the PAF configs run
+through racon_tpu's own banded-Myers aligner and land BETTER than the
+reference (1273 vs 1312, 1486 vs 1566) except m1x1g1 (1336 vs 1321).
 
 Reference goldens:  fastq+PAF 1312, fastq+SAM 1317, fasta+PAF 1566,
 fasta+SAM 1770, fastq+PAF w=1000 1289, fastq+PAF m1x1g1 1321.
@@ -51,8 +55,11 @@ def test_consensus_with_qualities_sam():
     assert len(dst) == 1
     assert " RC:i:181 " in dst[0].name + " "
     ed = ed_vs_truth(dst[0])
-    assert ed == 1346          # racon_tpu pinned value
-    assert ed <= 1317 * 1.05   # within 5% of reference golden 1317
+    # 2 ED BETTER than the reference golden 1317: replicating the
+    # reference's unstable layer sort (src/window.cpp:85-86) moved this
+    # from 1346 to 1315; the residual -2 is a (beneficial) tie divergence
+    assert ed == 1315          # racon_tpu pinned value
+    assert ed <= 1317          # at or better than reference golden 1317
 
 
 @needs_data
@@ -60,9 +67,10 @@ def test_consensus_with_qualities_paf():
     dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz")
     assert len(dst) == 1
     ed = ed_vs_truth(dst[0])
-    assert ed == 1329          # racon_tpu pinned value (banded Myers host
-    #                            aligner, traceback order 2 — rtlib.py)
-    assert ed <= 1312 * 1.05   # within 5% of reference golden 1312
+    assert ed == 1273          # racon_tpu pinned value (banded Myers host
+    #                            aligner, traceback order 2 — rtlib.py);
+    #                            39 ED BETTER than reference golden 1312
+    assert ed <= 1312          # at or better than reference golden 1312
 
 
 @needs_data
@@ -71,7 +79,7 @@ def test_consensus_without_qualities_sam():
     dst = run_polish("sample_reads.fasta.gz", "sample_overlaps.sam.gz")
     assert len(dst) == 1
     ed = ed_vs_truth(dst[0])
-    assert ed <= 1770 * 1.05   # reference golden 1770
+    assert ed == 1770          # EXACT match of reference golden 1770
 
 
 @needs_data
@@ -79,7 +87,8 @@ def test_consensus_without_qualities_sam():
 def test_consensus_without_qualities_paf():
     dst = run_polish("sample_reads.fasta.gz", "sample_overlaps.paf.gz")
     ed = ed_vs_truth(dst[0])
-    assert ed <= 1566 * 1.05   # reference golden 1566
+    assert ed == 1486          # 80 ED BETTER than reference golden 1566
+    assert ed <= 1566
 
 
 @needs_data
@@ -88,10 +97,7 @@ def test_consensus_larger_window():
     dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz",
                      window_length=1000)
     ed = ed_vs_truth(dst[0])
-    # measured 1333 on both the host and fused-TPU paths (the fused
-    # kernel handles w=1000 graphs up to its VMEM-bounded node capacity;
-    # deeper windows fall back to the bit-identical host oracle)
-    assert ed <= 1289 * 1.05   # reference golden 1289
+    assert ed == 1289          # EXACT match of reference golden 1289
 
 
 @needs_data
@@ -100,4 +106,5 @@ def test_consensus_edit_distance_scores():
     dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz",
                      match=1, mismatch=-1, gap=-1)
     ed = ed_vs_truth(dst[0])
-    assert ed <= 1321 * 1.05   # reference golden 1321
+    assert ed == 1336          # racon_tpu pinned (aligner tie divergence)
+    assert ed <= 1321 * 1.05   # within 5% of reference golden 1321

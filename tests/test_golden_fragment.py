@@ -39,8 +39,9 @@ def test_fragment_kf_ava_paf_full():
               PolisherType.kF, False)
     total = sum(len(d.data) for d in dst)
     assert len(dst) == 236
-    assert total == 1657992               # racon_tpu pinned (ref 1658216;
-    #                                       banded Myers host aligner)
+    assert total == 1657738               # racon_tpu pinned (ref 1658216;
+    #                                       banded Myers aligner + the
+    #                                       reference-replica layer sort)
     assert all(d.name.split(" ")[0].endswith("r") for d in dst)
 
 
@@ -52,7 +53,7 @@ def test_fragment_kf_ava_mhap_matches_paf():
     total = sum(len(d.data) for d in dst)
     # same property as the reference: MHAP and PAF inputs give identical
     # totals (racon_test.cpp:288-294 vs :252-258)
-    assert (len(dst), total) == (236, 1657992)
+    assert (len(dst), total) == (236, 1657738)
 
 
 @needs_data
@@ -62,5 +63,6 @@ def test_fragment_kf_ava_paf_fasta():
               PolisherType.kF, False)
     total = sum(len(d.data) for d in dst)
     assert len(dst) == 236
-    assert total == 1663245               # racon_tpu pinned (ref 1663982;
-    #                                       banded Myers host aligner)
+    assert total == 1663064               # racon_tpu pinned (ref 1663982;
+    #                                       banded Myers aligner + the
+    #                                       reference-replica layer sort)

@@ -80,3 +80,39 @@ def test_engine_round_robin_over_devices():
     for w, (cons, polished) in zip(windows, got):
         rc, rp = consensus_window(w, 3, -5, -4, trim=False)
         assert cons == rc and polished == rp
+
+
+def test_fused_round_robin_over_devices(monkeypatch):
+    """The PRODUCTION (fused chunk kernel) path round-robins over
+    multiple virtual devices with K=2 interleave and stays bit-identical
+    to the oracle (VERDICT round-2 item 7: multi-device coverage for the
+    kernel actually used on hardware)."""
+    import random
+
+    from racon_tpu.poa import fused_chunk as FC
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    from racon_tpu.poa.consensus import consensus_window
+    from tests.test_engine import make_window
+
+    monkeypatch.setattr(FC, "INTERPRET", True)
+    rng = random.Random(31)
+    windows = [make_window(rng, length=60, depth=5, with_quality=True,
+                           partial=True)[0] for _ in range(8)]
+    eng = BatchedPOAEngine(3, -5, -4, batch_size=2, mode="fused",
+                           interleave=2)
+    assert len(eng.devices) == 8
+    seen = set()
+    orig = eng._launch_chunk
+
+    def spy(chunk, windows_, **kw):
+        packed = orig(chunk, windows_, **kw)
+        seen.update(d.id for d in packed["codes"].devices())
+        return packed
+
+    eng._launch_chunk = spy
+    got = eng.polish_windows(windows, trim=False)
+    assert eng.stats["fallback"] == 0
+    assert len(seen) >= 3, seen                   # 4 chunks round-robin
+    for w, (cons, polished) in zip(windows, got):
+        rc, rp = consensus_window(w, 3, -5, -4, trim=False)
+        assert cons == rc and polished == rp
