@@ -58,11 +58,14 @@ def main() -> int:
     n_windows = len(p.windows)
 
     # warmup run compiles all bucket programs; rebuild for the timed run
+    cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    n_cached0 = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
     windows_snapshot = p.windows
     eng = p._make_engine()
     t0 = time.time()
     results = eng.polish_windows(windows_snapshot, p.trim)
     warm = time.time() - t0
+    n_cached1 = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
 
     t0 = time.time()
     results = eng.polish_windows(windows_snapshot, p.trim)
@@ -81,7 +84,9 @@ def main() -> int:
           f"warm={warm:.2f}s timed={dt:.2f}s e2e={e2e:.2f}s "
           f"({mbps:.3f} Mbases/s e2e) device={stats.get('device')} "
           f"fallback={stats.get('fallback')} trivial={stats.get('trivial')} "
-          f"degraded={stats.get('degraded', 0)}",
+          f"degraded={stats.get('degraded', 0)} "
+          f"fresh_compiles={n_cached1 - n_cached0} "
+          f"(cache entries {n_cached1})",
           file=sys.stderr)
 
     print(json.dumps({

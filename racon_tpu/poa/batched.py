@@ -68,11 +68,14 @@ class BatchedPOAEngine:
         self.p_cap = p_cap
         if interleave is None:
             interleave = int(os.environ.get("RACON_TPU_K", "1"))
-        # K independent window streams per grid step fill the serial POA
-        # phases' latency stalls (fused_chunk.py); K must divide the batch
+        # K window streams per grid step share one stacked vector chain in
+        # the DP (fused_chunk.py dp_tail); K must divide the batch
         self.interleave = max(1, interleave)
         while self.batch_size % self.interleave:
             self.interleave -= 1
+        # banded DP row width in sublanes (0 = full rows); band-edge
+        # windows fail to the host (fused_chunk.py code 5)
+        self.band_sub = int(os.environ.get("RACON_TPU_BAND", "0"))
         self.node_factor = node_factor
         self.mesh = mesh
         if mode is None:
@@ -157,8 +160,11 @@ class BatchedPOAEngine:
         if mode == "fused":
             from racon_tpu.poa import fused_chunk as FC
             sub_l = -(-(L + 1) // 128)
-            # bound the on-chip H matrix ((N+1) x sub_l x 512 B) to VMEM
-            while (N + 1) * sub_l * 512 > VMEM_H_BUDGET and N > 1024:
+            bs_eff = self.band_sub if 0 < self.band_sub < sub_l else sub_l
+            # bound the on-chip H matrix ((N+1) x rows x 512 B per stream
+            # x K streams) to VMEM
+            while ((N + 1) * bs_eff * 512 * self.interleave
+                   > VMEM_H_BUDGET) and N > 1024:
                 N -= 256
             if not FC.check_capacity(N, self.match, self.mismatch, self.gap,
                                      L, sub_l):
@@ -306,7 +312,8 @@ class BatchedPOAEngine:
                 put(metas), put(seq_t), put(wts_t), n_cap=N,
                 p_cap=p_cap, sub_l=sub_l, match=self.match,
                 mismatch=self.mismatch, gap=self.gap, t_cap=t_cap,
-                interpret=FC.INTERPRET, interleave=self.interleave)
+                interpret=FC.INTERPRET, interleave=self.interleave,
+                band_sub=self.band_sub)
             packed = FC.pack_for_download_chunk(st, nr, p_cap=p_cap)
         else:
             state = E.init_graphs(put(backbone), put(backbone_w),
@@ -333,7 +340,8 @@ class BatchedPOAEngine:
                 :len(chunk)]:
             if code:
                 key = {1: "fail_nodes", 2: "fail_preds", 3: "fail_tb",
-                       4: "fail_sat"}.get(int(code), "fail_other")
+                       4: "fail_sat", 5: "fail_band"}.get(int(code),
+                                                          "fail_other")
                 self.stats[key] = self.stats.get(key, 0) + 1
         n_nodes = packed["n_nodes"]
         Bp = failed.shape[0]

@@ -113,8 +113,10 @@ def s_rows(p_cap: int) -> int:
     rows (R_PREDS + p) so the DP, the update-phase edge scan, and the
     traceback's slot->pred resolution read them as scalars; only the
     deep pred WEIGHTS stay in the VMEM noderow (written, never
-    latency-critically read)."""
-    return R_PREDS + p_cap
+    latency-critically read).  Padded to a multiple of 8: the per-stream
+    state flush DMAs into a [k] slice of the VMEM output block, whose
+    sublane dim must be 8-aligned."""
+    return -(-(R_PREDS + p_cap) // 8) * 8
 
 # Set True (tests on the CPU backend) to run the kernel interpreted.
 INTERPRET = False
@@ -134,32 +136,42 @@ def _iota2(sub: int):
     return sl * LANE + lane
 
 
-def _shift_j(x, fill, sub: int):
-    """x'[j] = x[j-1] in the packed (sub,128) layout; x'[0] = fill."""
+def _shift_j(x, fill, sub: int, seg: int = 0):
+    """x'[j] = x[j-1] in the packed (sub,128) layout; x'[0] = fill.
+
+    With ``seg`` set, x stacks sub//seg independent windows of seg
+    sublanes each (the K-interleaved DP shares ONE wide vector chain);
+    the shift is segmented — nothing crosses a window boundary."""
+    seg = seg or sub
+    rows = x.shape[0]
     a = pltpu.roll(x, 1, axis=1)
     b = pltpu.roll(a, 1, axis=0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
-    sl = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
+    slm = sl if seg >= rows else sl % seg
     out = jnp.where(lane == 0, b, a)
-    return jnp.where((lane == 0) & (sl == 0), fill, out)
+    return jnp.where((lane == 0) & (slm == 0), fill, out)
 
 
-def _cummax_j(x, sub: int):
-    """Prefix max along the packed j axis."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 1)
-    sl = jax.lax.broadcasted_iota(jnp.int32, (sub, LANE), 0)
+def _cummax_j(x, sub: int, seg: int = 0):
+    """Prefix max along the packed j axis (segmented like _shift_j)."""
+    seg = seg or sub
+    rows = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+    sl = jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0)
+    slm = sl if seg >= rows else sl % seg
     for k in (1, 2, 4, 8, 16, 32, 64):
         sh = pltpu.roll(x, k, axis=1)
         x = jnp.where(lane >= k, jnp.maximum(x, sh), x)
-    if sub == 1:
+    if seg == 1:
         return x
-    inc = jnp.broadcast_to(jnp.max(x, axis=1, keepdims=True), (sub, LANE))
+    inc = jnp.broadcast_to(jnp.max(x, axis=1, keepdims=True), (rows, LANE))
     for k in (1, 2, 4, 8):
-        if k >= sub:
+        if k >= seg:
             break
         sh = pltpu.roll(inc, k, axis=0)
-        inc = jnp.maximum(inc, jnp.where(sl >= k, sh, NEG))
-    exc = jnp.where(sl >= 1, pltpu.roll(inc, 1, axis=0), NEG)
+        inc = jnp.maximum(inc, jnp.where(slm >= k, sh, NEG))
+    exc = jnp.where(slm >= 1, pltpu.roll(inc, 1, axis=0), NEG)
     return jnp.maximum(x, exc)
 
 
@@ -169,9 +181,29 @@ def _extract_lane(row, idx, width: int):
     return jnp.max(jnp.where(lane == idx, row, INT_MIN))
 
 
+class _PS:
+    """Dispatch [k, ...] accesses to stream-PRIVATE refs (k is always a
+    static Python int in the kernel body).  Streams share no buffers, so
+    Mosaic can prove their memory ops disjoint and interleave the K
+    latency chains — a single shared buffer indexed by k serializes them
+    (measured: shared-buffer K=2 ran at 0.97x of K=1)."""
+
+    __slots__ = ("refs", "pre")
+
+    def __init__(self, refs, pre=()):
+        self.refs = refs
+        self.pre = pre
+
+    def __getitem__(self, idx):
+        return self.refs[idx[0]][self.pre + idx[1:]]
+
+    def __setitem__(self, idx, val):
+        self.refs[idx[0]][self.pre + idx[1:]] = val
+
+
 def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                       mismatch: int, gap: int, stop_phase: int = 9,
-                      K: int = 1, grid_d: int = 0):
+                      K: int = 1, grid_d: int = 0, band_sub: int = 0):
     """Kernel body: grid (B//K, D); one call builds every window's POA
     graph, processing K windows per grid step with their serial phases
     INTERLEAVED (every per-window loop — DP over ranks, traceback, graph
@@ -188,7 +220,19 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
 
     stop_phase truncates each layer step after phase k (profiling only):
     0=init, 1=DP, 2=sink, 3=traceback, 4=update, 5=merge, 6=apply (full).
-    """
+
+    band_sub (0 = off) runs the DP in a BANDED row of band_sub sublanes
+    per rank instead of the full sub_l: per-rank band offsets follow the
+    i -> j ~ i*ell/span diagonal (LANE-quantized, stored in the ob row,
+    monotone in rank), pred rows are read at the sublane shift between
+    the two bands with out-of-band positions masked to -inf, and any
+    window whose result may have been influenced by the band edge — a
+    sink candidate whose band misses column ell, a traceback step that
+    lands outside its rank's band or consumes j-1 left of the band —
+    FAILS with code 5 and is re-polished on the host oracle, so banding
+    never silently changes output (cudapoa static-band analog,
+    reference: src/cuda/cudabatch.cpp:56-59, but with a fallback
+    contract instead of the reference GPU's silent divergence)."""
     assert 1 <= sub_l <= MAX_SUB
     LP = sub_l * LANE
     LN_PRED, LN_PREDW = _lane_layout(P)
@@ -196,14 +240,31 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
     assert HORIZ <= CODE_INV, f"P={P} move codes exceed the code field"
     HZ_PAYLOAD = (CODE_INV - HORIZ) << CODE_SHIFT
     SUB = sub_l
+    BS = band_sub if 0 < band_sub < sub_l else sub_l
+    BAND = BS < SUB
     VOFF = (P + 1) << CODE_SHIFT
     KS = list(range(K))
 
     def kernel(bb_ref, bbw_ref, bbl_ref, meta_ref, seq_ref, seq_s, wts_s,
-               st_out, noderow,
-               st, H, hs, pnode, ppos, ins_node, ins_key,
-               d_node, d_tail, d_w, d_slot, d_flag, tmp_ord, tmp_col,
-               copy_sem):
+               st_out, noderow, *scr):
+        # per-stream private scratch (see _PS): NS refs per stream + sem
+        NS = 15
+        copy_sem = scr[-1]
+        st = _PS([scr[k * NS + 0] for k in KS])
+        Hs = [scr[k * NS + 1] for k in KS]
+        hs = _PS([scr[k * NS + 2] for k in KS], pre=(0,))
+        pnode = _PS([scr[k * NS + 3] for k in KS], pre=(0,))
+        ppos = _PS([scr[k * NS + 4] for k in KS], pre=(0,))
+        ins_node = _PS([scr[k * NS + 5] for k in KS], pre=(0,))
+        ins_key = _PS([scr[k * NS + 6] for k in KS], pre=(0,))
+        d_node = _PS([scr[k * NS + 7] for k in KS], pre=(0,))
+        d_tail = _PS([scr[k * NS + 8] for k in KS], pre=(0,))
+        d_w = _PS([scr[k * NS + 9] for k in KS], pre=(0,))
+        d_slot = _PS([scr[k * NS + 10] for k in KS], pre=(0,))
+        d_flag = _PS([scr[k * NS + 11] for k in KS], pre=(0,))
+        tmp_ord = _PS([scr[k * NS + 12] for k in KS], pre=(0,))
+        tmp_col = _PS([scr[k * NS + 13] for k in KS], pre=(0,))
+        ob = _PS([scr[k * NS + 14] for k in KS], pre=(0,))
         d_id = pl.program_id(1)
         m_i = jnp.int32(match)
         x_i = jnp.int32(mismatch)
@@ -281,6 +342,9 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
         jidx = _iota2(SUB)
         jgapm = [jnp.where(jidx <= ell[k], jidx * g_i, NEG) for k in KS]
         seq_tile = [seq_ref[0, k] for k in KS]
+        if BAND:
+            jidx_b = _iota2(BS)
+            sl_b = jax.lax.broadcasted_iota(jnp.int32, (BS, LANE), 0)
 
         # ---- rank range ------------------------------------------------- #
         rb, re = [], []
@@ -307,25 +371,46 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             return 0
 
         if stop_phase >= 1:
+            if BAND:
+                for k in KS:
+                    ob[k, N] = jnp.int32(0)   # invalid-pred dump slot
             jax.lax.fori_loop(0, max_span + 1, zero_hs, 0)
 
         # Per-pred packed rows q_p = (score << 16) | (CODE_INV - slot) <<
         # CODE_SHIFT; combine under max FIRST (score dominates; equal
         # scores keep the lowest slot), then derive diag/vert from the
         # single winner.
-        def _qrow(k, guard, cnt_need, pid):
+        def _qrow(k, guard, cnt_need, pid, o=None):
             prr = st[k, R_RANK, jnp.clip(pid, 0, N)]
             valid = guard & cnt_need & (pid < N) & (prr >= rb[k])
             prs = jnp.where(valid, prr, N)
             hs[k, prs] = jnp.int32(1)
-            hps = jnp.where(valid,
-                            jax.lax.shift_right_arithmetic(
-                                H[pl.ds((k * (N + 1) + prs) * SUB, SUB)],
-                                jnp.int32(16)),
-                            NEG)
+            if not BAND:
+                hps = jnp.where(valid,
+                                jax.lax.shift_right_arithmetic(
+                                    Hs[k][pl.ds(prs * SUB, SUB)],
+                                    jnp.int32(16)),
+                                NEG)
+            else:
+                # read the pred's band shifted into THIS rank's band
+                # coordinates: rows [prs*BS+d, ..+BS) where d = sublane
+                # offset difference (>= 0: offsets are monotone in rank);
+                # sublanes past the pred's band end are masked to -inf
+                d = o - ob[k, prs]
+                row0 = jnp.minimum(prs * BS + jnp.clip(d, 0, BS), N * BS)
+                rowv = Hs[k][pl.ds(row0, BS)]
+                hps = jnp.where(valid & (sl_b < BS - d),
+                                jax.lax.shift_right_arithmetic(
+                                    rowv, jnp.int32(16)),
+                                NEG)
             return hps, valid
 
-        def dp_body_k(k, i, guard, minrow):
+        def dp_head_k(k, i, guard):
+            """Per-stream DP work for one rank: scalar state loads, pred
+            row reads and the q-row max-combine.  Returns (r, q, prof16);
+            the expensive elementwise tail (shift/cummax/pack — the bulk
+            of the per-rank vector latency CHAIN) is shared across the K
+            streams by dp_body via one stacked (K*SUB, 128) tile."""
             r = jnp.minimum(rb[k] + i, N)
             # guard-false iterations (this window's span < max_span, K>1)
             # land on R_ORDER entries beyond the ranked prefix whose
@@ -334,14 +419,36 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             # clamp, or the garbage id indexes SMEM out of bounds (the
             # K=2 device abort) and a garbage cntv can spin the deep-pred
             # fori_loop for ~2^31 iterations (the tunnel wedge)
-            v = jnp.where(guard, jnp.clip(st[k, R_ORDER, r], 0, N), N)
+            if K == 1:
+                # guard == (i <= span[0]) == (i <= max_span) — always true
+                # inside the loop, and R_ORDER[r <= re] is a valid id
+                v = st[k, R_ORDER, r]
+            else:
+                v = jnp.where(guard, jnp.clip(st[k, R_ORDER, r], 0, N), N)
             cntv = st[k, R_CNT, v]
             code_v = st[k, R_CODES, v]
-            prof16 = jnp.where(seq_tile[k] == code_v, m_i << 16, x_i << 16)
+            if not BAND:
+                o = None
+                jg = jgapm[k]
+                mask = jidx <= ell[k]
+                seqt = seq_tile[k]
+            else:
+                # band start (sublane units) follows the i -> j diagonal,
+                # centered with >= 64-position margins after LANE
+                # quantization; monotone in i, so pred offsets never
+                # exceed the current offset
+                jc = (i * ell[k]) // jnp.maximum(span[k], 1)
+                o = jnp.clip((jc - LANE // 2) // LANE, 0, SUB - BS)
+                ob[k, r] = o
+                jx = jidx_b + o * LANE
+                mask = jx <= ell[k]
+                jg = jnp.where(mask, jx * g_i, NEG)
+                seqt = seq_ref[0, k, pl.ds(o, BS)]
+            prof16 = jnp.where(seqt == code_v, m_i << 16, x_i << 16)
 
-            hps0, valid0 = _qrow(k, guard, cntv >= 1, st[k, R_P0, v])
+            hps0, valid0 = _qrow(k, guard, cntv >= 1, st[k, R_P0, v], o)
             q = hps0 * 65536 + ((CODE_INV - 0) << CODE_SHIFT)
-            hps1, valid1 = _qrow(k, guard, cntv >= 2, st[k, R_P1, v])
+            hps1, valid1 = _qrow(k, guard, cntv >= 2, st[k, R_P1, v], o)
             q = jnp.maximum(q, hps1 * 65536 + ((CODE_INV - 1) << CODE_SHIFT))
             anyv = valid0 | valid1
 
@@ -352,7 +459,7 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                 q, anyv = qa
                 for p in range(2, min(6, P)):
                     pid = st[k, R_PREDS + p, v]
-                    hps, valid = _qrow(k, guard, cntv > p, pid)
+                    hps, valid = _qrow(k, guard, cntv > p, pid, o)
                     q = jnp.maximum(
                         q, hps * 65536 + ((CODE_INV - p) << CODE_SHIFT))
                     anyv = anyv | valid
@@ -360,7 +467,7 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                 def tail_body(p, carry):
                     q, anyv = carry
                     pid = st[k, R_PREDS + p, v]
-                    hps, valid = _qrow(k, guard, True, pid)
+                    hps, valid = _qrow(k, guard, True, pid, o)
                     q = jnp.maximum(
                         q, hps * 65536 + ((CODE_INV - p) << CODE_SHIFT))
                     return q, anyv | valid
@@ -379,32 +486,56 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                 q, anyv = jax.lax.cond(cntv >= 3, deep_preds,
                                        lambda qa: qa, (q, anyv))
 
-            virt = jnp.where(~anyv, jgapm[k], NEG)
+            virt = jnp.where(~anyv, jg, NEG)
             q = jnp.maximum(
                 q, virt * 65536 + ((CODE_INV - P) << CODE_SHIFT))
+            return r, q, prof16, jg, mask
 
-            diag = _shift_j(q, NEG * 65536, SUB) + prof16
+        def dp_tail(q, prof16, jg, ellmask, seg):
+            """shift -> diag/vert max -> horizontal closure -> pack."""
+            diag = _shift_j(q, NEG * 65536, q.shape[0], seg=seg) + prof16
             vert = q + (g_i << 16) - VOFF
             acc = jnp.maximum(diag, vert)
-
             pre = jax.lax.shift_right_arithmetic(acc, jnp.int32(16))
-            closed = _cummax_j(pre - jgapm[k], SUB) + jgapm[k]
+            closed = _cummax_j(pre - jg, q.shape[0], seg=seg) + jg
             codebits = jnp.where(closed > pre, HZ_PAYLOAD, acc & 0xFFFF)
-            packed = jnp.where(jidx <= ell[k], closed * 65536 + codebits,
+            packed = jnp.where(ellmask, closed * 65536 + codebits,
                                NEG * 65536)
-            H[pl.ds((k * (N + 1) + r) * SUB, SUB)] = packed
-            # saturation tracking: running min of in-range cell scores
-            return jnp.minimum(
-                minrow, jnp.where(guard & (jidx <= ell[k]), closed, 0))
+            return closed, packed
 
         def dp_body(i, minrows):
-            return tuple(
-                dp_body_k(k, i, i <= span[k], minrows[k]) for k in KS)
+            if K == 1:
+                r, q, prof16, jg, mask = dp_head_k(0, i, i <= span[0])
+                closed, packed = dp_tail(q, prof16, jg, mask, BS)
+                Hs[0][pl.ds(r * BS, BS)] = packed
+                return (jnp.minimum(
+                    minrows[0],
+                    jnp.where((i <= span[0]) & mask, closed, 0)),)
+            heads = [dp_head_k(k, i, i <= span[k]) for k in KS]
+            q_st = jnp.concatenate([h[1] for h in heads], axis=0)
+            prof_st = jnp.concatenate([h[2] for h in heads], axis=0)
+            jg_st = jnp.concatenate([h[3] for h in heads], axis=0)
+            # stack the masks via int32 select (concatenating i1 tiles
+            # trips an invalid-vreg-cast in Mosaic)
+            mask_st = jnp.concatenate(
+                [jnp.where(h[4], 1, 0) for h in heads], axis=0) > 0
+            closed, packed = dp_tail(q_st, prof_st, jg_st, mask_st, BS)
+            out = []
+            for k in KS:
+                pk = jax.lax.slice_in_dim(packed, k * BS, (k + 1) * BS,
+                                          axis=0)
+                Hs[k][pl.ds(heads[k][0] * BS, BS)] = pk
+                ck = jax.lax.slice_in_dim(closed, k * BS, (k + 1) * BS,
+                                          axis=0)
+                out.append(jnp.minimum(
+                    minrows[k],
+                    jnp.where((i <= span[k]) & heads[k][4], ck, 0)))
+            return tuple(out)
 
         if stop_phase >= 1:
             minrows = jax.lax.fori_loop(
                 0, max_span + 1, dp_body,
-                tuple(jnp.zeros((SUB, LANE), jnp.int32) for _ in KS))
+                tuple(jnp.zeros((BS, LANE), jnp.int32) for _ in KS))
             # scores at or below SAT_FLOOR can no longer be trusted (the
             # 16-bit packed field would wrap within a few more steps);
             # fail the window to the host oracle instead (one scalar
@@ -421,23 +552,44 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
         def sink_body(i, best):
             out = []
             for k in KS:
-                bs, br = best[k]
+                bs, br, bu = best[k]
                 r = jnp.minimum(rb[k] + i, N)
-                row = H[pl.ds((k * (N + 1) + r) * SUB + ell_sub[k], 1)]
-                score = jax.lax.shift_right_arithmetic(
-                    _extract_lane(row, ell_lane[k], LANE), jnp.int32(16))
-                better = (i <= span[k]) & (hs[k, r] == 0) & (score > bs)
+                cand = (i <= span[k]) & (hs[k, r] == 0)
+                if not BAND:
+                    row = Hs[k][pl.ds(r * SUB + ell_sub[k], 1)]
+                    score = jax.lax.shift_right_arithmetic(
+                        _extract_lane(row, ell_lane[k], LANE),
+                        jnp.int32(16))
+                    bu2 = bu
+                else:
+                    # a sink candidate whose band misses column ell has
+                    # an UNKNOWN end score — flag the window (code 5)
+                    rel = ell_sub[k] - ob[k, r]
+                    okb = (rel >= 0) & (rel < BS)
+                    row = Hs[k][pl.ds(r * BS + jnp.clip(rel, 0, BS - 1),
+                                      1)]
+                    score = jnp.where(
+                        okb,
+                        jax.lax.shift_right_arithmetic(
+                            _extract_lane(row, ell_lane[k], LANE),
+                            jnp.int32(16)),
+                        NEG)
+                    bu2 = bu | (cand & ~okb)
+                better = cand & (score > bs)
                 out.append((jnp.where(better, score, bs),
-                            jnp.where(better, r, br)))
+                            jnp.where(better, r, br), bu2))
             return tuple(out)
 
         if stop_phase >= 2:
             best = jax.lax.fori_loop(
                 0, max_span + 1, sink_body,
-                tuple((jnp.int32(NEG), jnp.int32(N)) for _ in KS))
+                tuple((jnp.int32(NEG), jnp.int32(N), jnp.int32(0) > 1)
+                      for _ in KS))
             best_r = [best[k][1] for k in KS]
+            sink_unc = [act0[k] & best[k][2] for k in KS]
         else:
             best_r = [jnp.int32(N) for _ in KS]
+            sink_unc = [act0[k] & False for k in KS]
 
         # ---- phase 3: traceback; store consumed entries only ------------ #
         def tb_cond(c):
@@ -448,14 +600,22 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             return alive & (t < t_cap)
 
         def tb_step_k(k, state):
-            vr, j, ts_k, done = state
+            vr, j, ts_k, done, berr = state
             live = done == 0
             at_virtual = vr == N
             # clamp j for the address: a dead stream (or corrupt moves)
             # can leave j negative, which would underflow the H row index
             jc = jnp.clip(j, 0, LP - 1)
-            vs = (k * (N + 1) + jnp.clip(vr, 0, N)) * SUB + jc // LANE
-            packed = _extract_lane(H[pl.ds(vs, 1)], jc % LANE, LANE)
+            vrc = jnp.clip(vr, 0, N)
+            if not BAND:
+                vs = vrc * SUB + jc // LANE
+                band_ok = o_v = None
+            else:
+                o_v = ob[k, vrc]
+                rel = jc // LANE - o_v
+                band_ok = at_virtual | ((rel >= 0) & (rel < BS))
+                vs = vrc * BS + jnp.clip(rel, 0, BS - 1)
+            packed = _extract_lane(Hs[k][pl.ds(vs, 1)], jc % LANE, LANE)
             move = jnp.where(
                 at_virtual, HORIZ,
                 CODE_INV - (jax.lax.shift_right_arithmetic(
@@ -463,7 +623,7 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             # re-derive the predecessor rank from the slot code (the
             # packed cell no longer carries it): pid = preds[slot][node];
             # clamp the id — R_ORDER beyond the ranked prefix is undefined
-            vnode = jnp.clip(st[k, R_ORDER, jnp.clip(vr, 0, N)], 0, N)
+            vnode = jnp.clip(st[k, R_ORDER, vrc], 0, N)
             slot = jnp.where(move < P, move,
                              jnp.clip(move - P - 1, 0, P - 1))
             pid = st[k, R_PREDS + jnp.clip(slot, 0, P - 1), vnode]
@@ -484,33 +644,57 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             ts2 = jnp.where(live, ts_k + store.astype(jnp.int32), ts_k)
             j2 = jnp.where(live & ~is_vert, j - 1, j)
             vr2 = jnp.where(live & ~is_horiz, prr, vr)
-            done2 = jnp.where(live,
-                              ((vr2 == N) & (j2 == 0)).astype(jnp.int32),
-                              done)
-            return (vr2, j2, ts2, done2)
+            if BAND:
+                # band-edge detection: the path lands outside its rank's
+                # band, or consumes j-1 left of the band start — either
+                # way a cell the DP never computed influenced the result;
+                # fail the window to the host (code 5)
+                crossed = live & ~at_virtual & (
+                    ~band_ok |
+                    (~is_vert & (j - 1 >= 0) & (j - 1 < o_v * LANE)))
+                berr2 = berr | crossed.astype(jnp.int32)
+                done2 = jnp.where(live,
+                                  jnp.maximum(
+                                      ((vr2 == N) & (j2 == 0))
+                                      .astype(jnp.int32), berr2),
+                                  done)
+            else:
+                berr2 = berr
+                done2 = jnp.where(live,
+                                  ((vr2 == N) & (j2 == 0))
+                                  .astype(jnp.int32),
+                                  done)
+            return (vr2, j2, ts2, done2, berr2)
 
         def tb_body(c):
             t, states = c
             return t + 1, tuple(tb_step_k(k, states[k]) for k in KS)
 
-        run_tb = [act0[k] & ~saturated[k] for k in KS]
+        run_tb = [act0[k] & ~saturated[k] & ~sink_unc[k] for k in KS]
         tb_init = tuple(
             (jnp.where(run_tb[k], best_r[k], N),
              jnp.where(run_tb[k], ell[k], 0),
              jnp.int32(0),
-             jnp.where(run_tb[k], 0, 1).astype(jnp.int32)) for k in KS)
+             jnp.where(run_tb[k], 0, 1).astype(jnp.int32),
+             jnp.int32(0)) for k in KS)
         if stop_phase >= 3:
             _, tb_out = jax.lax.while_loop(tb_cond, tb_body,
                                            (jnp.int32(0), tb_init))
         else:
-            tb_out = tuple((s[0], s[1], s[2], jnp.int32(1)) for s in tb_init)
+            tb_out = tuple((s[0], s[1], s[2], jnp.int32(1), s[4])
+                           for s in tb_init)
         # failure codes (misc[1]): 1 node overflow, 2 pred-slot overflow,
-        # 3 traceback overrun, 4 score saturation
+        # 3 traceback overrun, 4 score saturation, 5 band edge touched
         overrun = [(tb_out[k][3] == 0) & run_tb[k] for k in KS]
+        band_err = [(sink_unc[k] | (tb_out[k][4] > 0)) & act0[k]
+                    for k in KS]
         failed_tb = [jnp.where(saturated[k], 4,
-                               jnp.where(overrun[k], 3, failed0[k]))
+                               jnp.where(band_err[k], 5,
+                                         jnp.where(overrun[k], 3,
+                                                   failed0[k])))
                      for k in KS]
-        ts = [jnp.where(overrun[k] | ~run_tb[k], 0, tb_out[k][2])
+        ts = [jnp.where(overrun[k] | band_err[k] | ~run_tb[k], 0,
+                        tb_out[k][2])
               for k in KS]
         max_ts = ts[0]
         for k in KS[1:]:
@@ -528,11 +712,12 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
              failed) = carry
             idx = ts[k] - 1 - i
             act = (failed == 0) & (i < ts[k])
+            idxc = jnp.clip(idx, 0, LP - 1)
             # inactive iterations (i >= ts[k], K>1) read scratch entries
             # this layer never wrote — garbage would flow into the node
             # indices below, so mask to the benign -1/horiz form
-            v = jnp.where(act, pnode[k, jnp.clip(idx, 0, LP - 1)], -1)
-            pos = ppos[k, jnp.clip(idx, 0, LP - 1)]
+            v = jnp.where(act, pnode[k, idxc], -1)
+            pos = ppos[k, idxc]
             jj = jnp.clip(pos + 1, 0, LP - 1)
             letter = seq_s[0, k, 0, jj]
             wt = wts_s[0, k, 0, jj]
@@ -619,27 +804,32 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
 
             # deep-slot scan: statically unrolled masked SMEM reads (no
             # dynamic-trip loop; prev_res = -1 never matches a slot, so
-            # the has_tail guard is implicit)
-            deep = jnp.int32(-1)
-            for p in range(2, P):
-                pid = st[k, R_PREDS + p, rsafe]
-                deep = jnp.where((p < cnt_h) & (pid == prev_res)
-                                 & (deep < 0), p, deep)
+            # the has_tail guard is implicit).  Branched past entirely for
+            # the overwhelmingly common <=2-pred heads.
+            def deep_scan(_):
+                deep = jnp.int32(-1)
+                for p in range(2, P):
+                    pid = st[k, R_PREDS + p, rsafe]
+                    deep = jnp.where((p < cnt_h) & (pid == prev_res)
+                                     & (deep < 0), p, deep)
+                return deep
+
+            deep = jax.lax.cond(cnt_h >= 3, deep_scan,
+                                lambda _: jnp.int32(-1), 0)
             slot = jnp.where(hit0, 0, jnp.where(hit1, 1,
                              jnp.where(deep >= 0, deep, -1)))
             overflow_p = act & has_tail & (slot < 0) & (cnt_h >= P)
 
             @pl.when(act)
             def _():
-                d_node[k, jnp.clip(idx, 0, LP - 1)] = resolved
-                d_flag[k, jnp.clip(idx, 0, LP - 1)] = \
+                d_node[k, idxc] = resolved
+                d_flag[k, idxc] = \
                     jnp.where(create, 0, 1) + 2 * jnp.where(
                         created_matched, 1, 0)
-                d_tail[k, jnp.clip(idx, 0, LP - 1)] = \
-                    jnp.where(has_tail, prev_res, -1)
-                d_w[k, jnp.clip(idx, 0, LP - 1)] = ew
+                d_tail[k, idxc] = jnp.where(has_tail, prev_res, -1)
+                d_w[k, idxc] = ew
                 # stash rep/letter for deferred column registration
-                d_slot[k, jnp.clip(idx, 0, LP - 1)] = jnp.where(
+                d_slot[k, idxc] = jnp.where(
                     created_matched,
                     slot * 8 * (N + 1) + rep_n * 8 + lclip,
                     slot * 8 * (N + 1))
@@ -830,9 +1020,11 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
         # budget).  One DMA per window moves it into the VMEM output block.
         @pl.when(d_id == grid_d - 1)
         def _():
-            dma = pltpu.make_async_copy(st, st_out, copy_sem)
-            dma.start()
-            dma.wait()
+            for k in KS:
+                dma = pltpu.make_async_copy(st.refs[k], st_out.at[k],
+                                            copy_sem)
+                dma.start()
+                dma.wait()
 
     return kernel
 
@@ -874,12 +1066,12 @@ def pack_layer_tiles(seq: np.ndarray, wts: np.ndarray, sub_l: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "n_cap", "p_cap", "sub_l", "match", "mismatch", "gap", "t_cap",
-    "interpret", "stop_phase", "interleave"))
+    "interpret", "stop_phase", "interleave", "band_sub"))
 def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
                  n_cap: int, p_cap: int, sub_l: int, match: int,
                  mismatch: int, gap: int, t_cap: int,
                  interpret: bool = False, stop_phase: int = 9,
-                 interleave: int = 1):
+                 interleave: int = 1, band_sub: int = 0):
     """Build every window's POA graph for one chunk in a single kernel.
 
     backbone:     [B, L0] i32 codes (PAD beyond backbone_len)
@@ -888,6 +1080,9 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
     metas:        [D, B, 8] i32 (begin, end, full, length, active, 0, 0, 0)
     seq_t/wts_t:  [D, B, sub_l, 128] i32 shifted layer codes/weights
     interleave:   windows per grid step (K); B must divide by it
+    band_sub:     banded-DP row width in sublanes (0 = full rows); windows
+                  whose band may have influenced the result fail (code 5)
+                  to the host oracle — see make_chunk_kernel
 
     Returns (state, noderow): state [B, s_rows(p_cap), N+1] i32 packed
     scalar table, noderow [B, N+1, 1, 32] i32 pred-overflow weight rows.
@@ -897,10 +1092,16 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
     assert B % K == 0, f"B={B} not divisible by interleave={K}"
     N = n_cap
     Np1 = N + 1
+    # the per-stream state flush DMAs into a [k] slice of the VMEM output
+    # block, whose lane dim must be 128-aligned; pad the column axis and
+    # slice it off after the call (kernel indices never exceed N)
+    Ncol = -(-Np1 // 128) * 128
     LP = sub_l * LANE
     L0 = backbone.shape[1]
+    BS = band_sub if 0 < band_sub < sub_l else sub_l
     kernel = make_chunk_kernel(N, p_cap, sub_l, t_cap, match, mismatch, gap,
-                               stop_phase=stop_phase, K=K, grid_d=D)
+                               stop_phase=stop_phase, K=K, grid_d=D,
+                               band_sub=band_sub)
     metas = metas.reshape(D, B, 1, 8)
     seq_s = seq_t.reshape(D, B, 1, LP)
     wts_s = wts_t.reshape(D, B, 1, LP)
@@ -924,35 +1125,41 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
             smem_d(LP), smem_d(LP),                       # seq_s wts_s
         ],
         out_specs=[
-            pl.BlockSpec((K, s_rows(p_cap), Np1), lambda g, d: (g, 0, 0),
+            pl.BlockSpec((K, s_rows(p_cap), Ncol), lambda g, d: (g, 0, 0),
                          memory_space=pltpu.VMEM),        # state (DMA'd)
             pl.BlockSpec((K, Np1, 1, NR_LANE), lambda g, d: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # noderow
         ],
         out_shape=[
-            sds((B, s_rows(p_cap), Np1), jnp.int32),
+            sds((B, s_rows(p_cap), Ncol), jnp.int32),
             sds((B, Np1, 1, NR_LANE), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.SMEM((K, s_rows(p_cap), Np1), jnp.int32),  # state table
-            pltpu.VMEM((K * Np1 * sub_l, LANE), jnp.int32),  # H (packed)
-            pltpu.SMEM((K, Np1), jnp.int32),              # hs
-            pltpu.SMEM((K, LP), jnp.int32),               # pnode
-            pltpu.SMEM((K, LP), jnp.int32),               # ppos
-            pltpu.SMEM((K, LP), jnp.int32),               # ins_node
-            pltpu.SMEM((K, LP), jnp.int32),               # ins_key
-            pltpu.SMEM((K, LP), jnp.int32),               # d_node
-            pltpu.SMEM((K, LP), jnp.int32),               # d_tail
-            pltpu.SMEM((K, LP), jnp.int32),               # d_w
-            pltpu.SMEM((K, LP), jnp.int32),               # d_slot
-            pltpu.SMEM((K, LP), jnp.int32),               # d_flag
-            pltpu.SMEM((K, Np1), jnp.int32),              # tmp_ord
-            pltpu.SMEM((K, Np1), jnp.int32),              # tmp_col
-            pltpu.SemaphoreType.DMA(()),                  # state-flush sem
-        ],
+        scratch_shapes=(
+            # per-stream PRIVATE scratch (disjoint buffers -> Mosaic can
+            # interleave the K streams' latency chains; one shared
+            # k-indexed buffer measured 0.97x at K=2): NS=14 refs each
+            sum(([
+                pltpu.SMEM((s_rows(p_cap), Ncol), jnp.int32),  # state
+                pltpu.VMEM((Np1 * BS, LANE), jnp.int32),      # H (packed)
+                pltpu.SMEM((1, Np1), jnp.int32),              # hs
+                pltpu.SMEM((1, LP), jnp.int32),               # pnode
+                pltpu.SMEM((1, LP), jnp.int32),               # ppos
+                pltpu.SMEM((1, LP), jnp.int32),               # ins_node
+                pltpu.SMEM((1, LP), jnp.int32),               # ins_key
+                pltpu.SMEM((1, LP), jnp.int32),               # d_node
+                pltpu.SMEM((1, LP), jnp.int32),               # d_tail
+                pltpu.SMEM((1, LP), jnp.int32),               # d_w
+                pltpu.SMEM((1, LP), jnp.int32),               # d_slot
+                pltpu.SMEM((1, LP), jnp.int32),               # d_flag
+                pltpu.SMEM((1, Np1), jnp.int32),              # tmp_ord
+                pltpu.SMEM((1, Np1), jnp.int32),              # tmp_col
+                pltpu.SMEM((1, Np1), jnp.int32),              # ob (band)
+            ] for _ in range(K)), [])
+            + [pltpu.SemaphoreType.DMA(())]               # state-flush sem
+        ),
         interpret=interpret,
     )(bb3, bbw3, bbl3, metas, seq_t, seq_s, wts_s)
-    return state, noderow
+    return state[:, :, :Np1], noderow
 
 
 @functools.partial(jax.jit, static_argnames=("p_cap",))

@@ -85,6 +85,9 @@ def main():
     ap.add_argument("--engine", default="tpu")
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--tpu-align", action="store_true")
+    ap.add_argument("--out", default="",
+                    help="also write the JSON record to this file "
+                         "(checked-in BENCH_scale_rN.json artifacts)")
     args = ap.parse_args()
 
     genome_bp = int(args.genome_mb * 1e6)
@@ -108,9 +111,20 @@ def main():
         t_init = time.time() - t0
         n_windows = len(p.windows)
 
+        engine_holder = []
+        orig = p._make_engine
+
+        def capture():
+            eng = orig()
+            engine_holder.append(eng)
+            return eng
+
+        p._make_engine = capture
         t0 = time.time()
         res = p.polish()
         t_polish = time.time() - t0
+        stats = getattr(engine_holder[0], "stats", {}) if engine_holder \
+            else {}
 
         polished = res[0].data
         ed = rtlib.edit_distance_banded(polished, genome.tobytes())
@@ -119,14 +133,27 @@ def main():
               f"tpu_align={args.tpu_align}", file=sys.stderr)
         print(f"[scale] initialize {t_init:.1f}s, polish {t_polish:.1f}s "
               f"({n_windows} windows, {n_windows/t_polish:.1f} w/s), "
-              f"ED vs truth {ed} ({ed/genome_bp*100:.3f}%)", file=sys.stderr)
+              f"ED vs truth {ed} ({ed/genome_bp*100:.3f}%) stats={stats}",
+              file=sys.stderr)
         import json
-        print(json.dumps({
+        rec = {
             "metric": "scale_polish_windows_per_sec",
             "value": round(n_windows / t_polish, 3),
             "unit": "windows/s",
             "genome_mb": args.genome_mb,
-            "ed_pct": round(ed / genome_bp * 100, 4)}))
+            "coverage": args.coverage,
+            "engine": args.engine,
+            "threads": args.threads,
+            "init_sec": round(t_init, 1),
+            "polish_sec": round(t_polish, 1),
+            "windows": n_windows,
+            "ed_pct": round(ed / genome_bp * 100, 4),
+            "stats": {k: int(v) for k, v in stats.items()},
+        }
+        print(json.dumps(rec))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(rec, f, indent=1)
 
 
 if __name__ == "__main__":

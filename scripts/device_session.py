@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+"""One-process device worklist: the axon tunnel charges minutes of attach
+latency per NEW process, so all real-TPU measurements for a work session
+run sequentially from this single process.
+
+Stages (each gated on the previous; all output flushed):
+  1. probe
+  2. synthetic chunk A/B: K=1 vs K=2 steady state (D=22 lambda-class)
+  3. real lambda windows through BatchedPOAEngine at K=1 and K=2
+     (bit-compare consensus, steady-state windows/s)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def probe(tag=""):
+    t = time.time()
+    v = float(np.asarray(jnp.sum(jnp.arange(1024.0))))
+    assert v == 1024 * 1023 / 2
+    print(f"probe{tag}: PASS ({time.time() - t:.1f}s)", flush=True)
+
+
+def stage_ab(ks=(1, 2), D=22, reps=4, N=1791, P=12, band_sub=0):
+    from racon_tpu.poa import engine as E
+    from racon_tpu.poa import fused_chunk as FC
+    from tests.test_fused_chunk import build_chunk_inputs, random_problem
+
+    B, L0, L = 32, 500, 511
+    sub_l = -(-(L + 1) // 128)
+    t_cap = N + L
+    state0, layers = random_problem(B, L0, L, D, N, P, seed=0, partial=False)
+    codes0 = np.asarray(state0.codes)
+    blen = np.asarray(state0.n_nodes)
+    bb = codes0[:, :L0].astype(np.int32)
+    rng = np.random.RandomState(99)
+    bw = rng.randint(1, 50, size=(B, L0)).astype(np.int32)
+    for b in range(B):
+        bb[b, blen[b]:] = E.PAD_CODE
+        bw[b, blen[b]:] = 0
+    metas, seq_t, wts_t = build_chunk_inputs(layers, sub_l)
+    ar = (jnp.asarray(bb), jnp.asarray(bw), jnp.asarray(blen),
+          jnp.asarray(metas), jnp.asarray(seq_t), jnp.asarray(wts_t))
+    kw = dict(n_cap=N, p_cap=P, sub_l=sub_l, match=3, mismatch=-5, gap=-4,
+              t_cap=t_cap, band_sub=band_sub)
+    print(f"[ab] B={B} N={N} L={L} sub_l={sub_l} D={D} P={P} "
+          f"band={band_sub}", flush=True)
+    base = None
+    for K in ks:
+        try:
+            t0 = time.time()
+            st, nr = FC.polish_chunk(*ar, interleave=K, **kw)
+            flags = np.asarray(st[:, FC.R_MISC, 1])
+            print(f"[ab] K={K} band={band_sub}: compile+run "
+                  f"{time.time() - t0:.1f}s "
+                  f"failed={int((flags > 0).sum())}", flush=True)
+            t0 = time.time()
+            for _ in range(reps):
+                st, nr = FC.polish_chunk(*ar, interleave=K, **kw)
+            _ = np.asarray(st[:, FC.R_MISC, :2])
+            dt = (time.time() - t0) / reps
+        except Exception as e:
+            print(f"[ab] K={K} band={band_sub}: ERROR "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            continue
+        sp = "" if base is None else f"  speedup: {base / dt:.2f}x"
+        if base is None:
+            base = dt
+        print(f"[ab] K={K} band={band_sub}: {dt * 1e3:8.2f} ms/chunk, "
+              f"{dt / D * 1e3:7.3f} ms/layer-step{sp}", flush=True)
+
+
+def stage_phases(ks=(1, 2), D=22, reps=3, N=1791, P=12):
+    """Per-phase roofline: time the kernel truncated after each phase.
+    stop_phase: 1=DP, 2=+sink, 3=+traceback, 4=+update, 5=+merge, 9=full.
+    """
+    from racon_tpu.poa import engine as E
+    from racon_tpu.poa import fused_chunk as FC
+    from tests.test_fused_chunk import build_chunk_inputs, random_problem
+
+    B, L0, L = 32, 500, 511
+    sub_l = -(-(L + 1) // 128)
+    t_cap = N + L
+    state0, layers = random_problem(B, L0, L, D, N, P, seed=0, partial=False)
+    codes0 = np.asarray(state0.codes)
+    blen = np.asarray(state0.n_nodes)
+    bb = codes0[:, :L0].astype(np.int32)
+    rng = np.random.RandomState(99)
+    bw = rng.randint(1, 50, size=(B, L0)).astype(np.int32)
+    for b in range(B):
+        bb[b, blen[b]:] = E.PAD_CODE
+        bw[b, blen[b]:] = 0
+    metas, seq_t, wts_t = build_chunk_inputs(layers, sub_l)
+    ar = (jnp.asarray(bb), jnp.asarray(bw), jnp.asarray(blen),
+          jnp.asarray(metas), jnp.asarray(seq_t), jnp.asarray(wts_t))
+    kw = dict(n_cap=N, p_cap=P, sub_l=sub_l, match=3, mismatch=-5, gap=-4,
+              t_cap=t_cap)
+    for K in ks:
+        prev = 0.0
+        for sp in (1, 2, 3, 9):
+            # stop=4/5 (mid-update truncation) hit a TPU backend error on
+            # 2026-08-17; the 1/3/9 diffs cover the three big phases
+            try:
+                st, nr = FC.polish_chunk(*ar, interleave=K, stop_phase=sp,
+                                         **kw)
+                _ = np.asarray(st[:, 0, :2])
+                t0 = time.time()
+                for _r in range(reps):
+                    st, nr = FC.polish_chunk(*ar, interleave=K,
+                                             stop_phase=sp, **kw)
+                _ = np.asarray(st[:, 0, :2])
+                dt = (time.time() - t0) / reps
+            except Exception as e:
+                print(f"[phases] K={K} stop={sp}: ERROR {e}", flush=True)
+                continue
+            print(f"[phases] K={K} stop={sp}: {dt * 1e3:8.2f} ms/chunk "
+                  f"(+{(dt - prev) / D * 1e3:7.3f} ms/layer-step)",
+                  flush=True)
+            prev = dt
+
+
+def _make_lambda_polisher(wlen=500):
+    from racon_tpu.pipeline import PolisherType, create_polisher
+    D = "/root/reference/test/data"
+    p = create_polisher(f"{D}/sample_reads.fastq.gz",
+                        f"{D}/sample_overlaps.paf.gz",
+                        f"{D}/sample_layout.fasta.gz", PolisherType.kC,
+                        wlen, 10.0, 0.3, True, 5, -4, -8, num_threads=4,
+                        engine="native")
+    p.initialize()
+    return p
+
+
+def stage_lambda(cfgs=((1, 0), (2, 0), (2, 2), (4, 2))):
+    """Real lambda windows through BatchedPOAEngine at each (K, band_sub)
+    config: bit-compare consensus vs the first config, steady-state w/s,
+    failure stats (CLAUDE.md timing trap: check failed flags)."""
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    p = _make_lambda_polisher()
+    windows = p.windows
+    print(f"[lambda] {len(windows)} windows", flush=True)
+    ref = None
+    for K, band in cfgs:
+        try:
+            eng = BatchedPOAEngine(5, -4, -8, num_threads=4, interleave=K)
+            eng.band_sub = band
+            t0 = time.time()
+            res = eng.polish_windows(windows, p.trim)
+            warm = time.time() - t0
+            t0 = time.time()
+            res = eng.polish_windows(windows, p.trim)
+            dt = time.time() - t0
+        except Exception as e:
+            print(f"[lambda] K={K} band={band}: ERROR "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            continue
+        wps = len(windows) / dt
+        print(f"[lambda] K={K} band={band}: warm={warm:.1f}s "
+              f"timed={dt:.2f}s {wps:.1f} w/s stats={eng.stats}", flush=True)
+        if ref is None:
+            ref = res
+        else:
+            ndiff = sum(1 for a, b in zip(ref, res) if a != b)
+            print(f"[lambda] K={K} band={band} vs base consensus: "
+                  f"{ndiff} differing windows", flush=True)
+
+
+def stage_w1000(cfgs=((1, 2), (2, 2))):
+    """w=1000 lambda: banding shrinks the per-rank H row so the full
+    node budget fits VMEM — goal fail_nodes=0 (VERDICT round-2 item 3)."""
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    p = _make_lambda_polisher(wlen=1000)
+    windows = p.windows
+    print(f"[w1000] {len(windows)} windows", flush=True)
+    ref = None
+    for K, band in cfgs:
+        try:
+            eng = BatchedPOAEngine(5, -4, -8, num_threads=4, interleave=K)
+            eng.band_sub = band
+            t0 = time.time()
+            res = eng.polish_windows(windows, p.trim)
+            warm = time.time() - t0
+        except Exception as e:
+            print(f"[w1000] K={K} band={band}: ERROR "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            continue
+        print(f"[w1000] K={K} band={band}: warm={warm:.1f}s "
+              f"stats={eng.stats}", flush=True)
+        if ref is None:
+            ref = res
+        else:
+            ndiff = sum(1 for a, b in zip(ref, res) if a != b)
+            print(f"[w1000] K={K} band={band} vs base consensus: "
+                  f"{ndiff} differing windows", flush=True)
+
+
+def stage_ed():
+    """End-to-end verify surface: polish lambda on the TPU engine and
+    edit-distance the contig against the truth (expect 1273; the
+    pre-unstable-sort value was 1329, reference CPU golden 1312)."""
+    from racon_tpu.pipeline import PolisherType, create_polisher
+    from racon_tpu.io.parsers import parse_sequences
+    from racon_tpu.native import rtlib
+    D = "/root/reference/test/data"
+    p = create_polisher(f"{D}/sample_reads.fastq.gz",
+                        f"{D}/sample_overlaps.paf.gz",
+                        f"{D}/sample_layout.fasta.gz", PolisherType.kC,
+                        500, 10.0, 0.3, True, 5, -4, -8, num_threads=4,
+                        engine="tpu")
+    p.initialize()
+    t0 = time.time()
+    res = p.polish()
+    truth = parse_sequences(f"{D}/sample_reference.fasta.gz")[0]
+    s = res[0]
+    s.create_reverse_complement()
+    ed = rtlib.edit_distance(s.reverse_complement, truth.data)
+    print(f"[ed] lambda e2e TPU ED vs truth: {ed} "
+          f"(polish {time.time() - t0:.1f}s, expect 1273)", flush=True)
+
+
+if __name__ == "__main__":
+    stages = sys.argv[1:] or ["ab", "lambda"]
+    probe()
+    if "ab" in stages:
+        stage_ab()
+        probe(" post-ab")
+    if "abband" in stages:
+        stage_ab(ks=(1, 2, 4), band_sub=2)
+        probe(" post-abband")
+    if "ab4" in stages:
+        stage_ab(ks=(4,))
+        probe(" post-ab4")
+    if "phases" in stages:
+        stage_phases()
+        probe(" post-phases")
+    if "lambda" in stages:
+        stage_lambda()
+        probe(" post-lambda")
+    if "w1000" in stages:
+        stage_w1000()
+        probe(" post-w1000")
+    if "ed" in stages:
+        stage_ed()
+        probe(" post-ed")
+    print("DONE", flush=True)

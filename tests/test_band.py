@@ -1,0 +1,96 @@
+"""Banded-DP chunk kernel: parity + fallback contract.
+
+The banded kernel (fused_chunk band_sub > 0, cudapoa static-band analog —
+reference: src/cuda/cudabatch.cpp:56-59) must produce BIT-IDENTICAL graphs
+to the full-row kernel for every window it does not flag, and must flag
+(failure code 5 -> host fallback) any window whose result could have been
+influenced by the band edge.  Unlike the reference GPU path, banding here
+never silently changes output.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from racon_tpu.poa import engine as E
+from racon_tpu.poa import fused_chunk as FC
+from tests.test_fused_chunk import build_chunk_inputs, random_problem
+
+
+def run_pair(B, L0, L, N, P, D, sub_l, band_sub, seed=0, partial=True,
+             K=1):
+    t_cap = N + L
+    state0, layers = random_problem(B, L0, L, D, N, P, seed=seed,
+                                    partial=partial)
+    codes0 = np.asarray(state0.codes)
+    blen = np.asarray(state0.n_nodes)
+    bb = codes0[:, :L0].astype(np.int32)
+    rng = np.random.RandomState(99)
+    bw = rng.randint(1, 50, size=(B, L0)).astype(np.int32)
+    for b in range(B):
+        bb[b, blen[b]:] = E.PAD_CODE
+        bw[b, blen[b]:] = 0
+    metas, seq_t, wts_t = build_chunk_inputs(layers, sub_l)
+    args = (jnp.asarray(bb), jnp.asarray(bw), jnp.asarray(blen), metas,
+            seq_t, wts_t)
+    kw = dict(n_cap=N, p_cap=P, sub_l=sub_l, match=3, mismatch=-5, gap=-4,
+              t_cap=t_cap, interpret=True, interleave=K)
+    st_f, nr_f = FC.polish_chunk(*args, **kw)
+    st_b, nr_b = FC.polish_chunk(*args, band_sub=band_sub, **kw)
+    return (np.asarray(st_f), np.asarray(nr_f),
+            np.asarray(st_b), np.asarray(nr_b))
+
+
+def assert_band_contract(st_f, nr_f, st_b, nr_b, P, max_flag_frac=0.5):
+    code_f = st_f[:, FC.R_MISC, 1]
+    code_b = st_b[:, FC.R_MISC, 1]
+    B = code_f.shape[0]
+    n_band = 0
+    g_f = FC.unpack_chunk_state(st_f, nr_f, p_cap=P)
+    g_b = FC.unpack_chunk_state(st_b, nr_b, p_cap=P)
+    for b in range(B):
+        if code_b[b] == 5:
+            n_band += 1
+            continue
+        # unflagged windows must agree with the full kernel EXACTLY
+        assert code_b[b] == code_f[b], (b, code_b[b], code_f[b])
+        for f in g_f._fields:
+            vf = np.asarray(getattr(g_f, f)[b])
+            vb = np.asarray(getattr(g_b, f)[b])
+            assert np.array_equal(vf, vb), (b, f)
+    assert n_band <= max_flag_frac * B, f"{n_band}/{B} windows flagged"
+    return n_band
+
+
+def test_band_parity_small():
+    st_f, nr_f, st_b, nr_b = run_pair(B=4, L0=60, L=255, N=256, P=8, D=3,
+                                      sub_l=2, band_sub=1, seed=3)
+    assert_band_contract(st_f, nr_f, st_b, nr_b, P=8)
+
+
+def test_band_parity_wider():
+    """band_sub=2 of sub_l=3 on diagonal-ish layers: most windows should
+    stay on device and match exactly."""
+    st_f, nr_f, st_b, nr_b = run_pair(B=4, L0=100, L=383, N=384, P=8, D=4,
+                                      sub_l=3, band_sub=2, seed=4)
+    n_band = assert_band_contract(st_f, nr_f, st_b, nr_b, P=8)
+    # the random layers are ~20% edited copies of the backbone — the
+    # diagonal band should keep the large majority on device
+    assert n_band <= 2
+
+
+def test_band_interleaved():
+    st_f, nr_f, st_b, nr_b = run_pair(B=4, L0=60, L=255, N=256, P=8, D=3,
+                                      sub_l=2, band_sub=1, seed=5, K=2)
+    assert_band_contract(st_f, nr_f, st_b, nr_b, P=8)
+
+
+def test_band_flags_offdiagonal():
+    """A layer that aligns far off the backbone diagonal (prefix of the
+    backbone vs a sequence padded with a long tail) must either match the
+    full kernel or be flagged — never silently diverge.  Constructed so
+    at least one window exercises the edge path."""
+    st_f, nr_f, st_b, nr_b = run_pair(B=4, L0=120, L=511, N=384, P=8, D=2,
+                                      sub_l=4, band_sub=1, seed=6,
+                                      partial=False)
+    assert_band_contract(st_f, nr_f, st_b, nr_b, P=8, max_flag_frac=1.0)
