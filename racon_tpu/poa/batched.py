@@ -67,15 +67,21 @@ class BatchedPOAEngine:
         self.batch_size = batch_size
         self.p_cap = p_cap
         if interleave is None:
-            interleave = int(os.environ.get("RACON_TPU_K", "1"))
+            interleave = int(os.environ.get("RACON_TPU_K", "2"))
         # K window streams per grid step share one stacked vector chain in
-        # the DP (fused_chunk.py dp_tail); K must divide the batch
+        # the DP (fused_chunk.py dp_tail); K must divide the batch.
+        # Default 2: measured 1.44x per layer-step on real TPU (lambda
+        # scale), consensus bit-identical to K=1.  Per-batch the scheduler
+        # clamps K to the SMEM budget (fused_chunk.smem_stream_bytes).
         self.interleave = max(1, interleave)
         while self.batch_size % self.interleave:
             self.interleave -= 1
-        # banded DP row width in sublanes (0 = full rows); band-edge
-        # windows fail to the host (fused_chunk.py code 5)
-        self.band_sub = int(os.environ.get("RACON_TPU_BAND", "0"))
+        # banded DP row width in sublanes; "auto" (default) keeps full
+        # rows while they fit VMEM at full node capacity and otherwise
+        # bands to the widest row that fits (band-edge windows fail to
+        # the host, fused_chunk.py code 5 — banding never changes output)
+        band_env = os.environ.get("RACON_TPU_BAND", "auto")
+        self.band_sub = None if band_env == "auto" else int(band_env)
         self.node_factor = node_factor
         self.mesh = mesh
         if mode is None:
@@ -157,15 +163,33 @@ class BatchedPOAEngine:
         # and windows outgrowing the VMEM-bounded N fail to the host
         mode = self.mode
         p_cap = self.p_cap
+        k_eff, band_eff = 1, 0
         if mode == "fused":
             from racon_tpu.poa import fused_chunk as FC
             sub_l = -(-(L + 1) // 128)
-            bs_eff = self.band_sub if 0 < self.band_sub < sub_l else sub_l
-            # bound the on-chip H matrix ((N+1) x rows x 512 B per stream
-            # x K streams) to VMEM
-            while ((N + 1) * bs_eff * 512 * self.interleave
+            # interleave streams are SMEM-bounded (each carries a private
+            # state table); K is clamped per batch, not failed
+            k_eff = self.interleave
+            while (k_eff > 1 and FC.smem_stream_bytes(N, p_cap, sub_l)
+                   * k_eff > FC.SMEM_BUDGET):
+                k_eff -= 1
+                while self.batch_size % k_eff:
+                    k_eff -= 1
+            # the on-chip H matrix ((N+1) x rows x 512 B per stream x K
+            # streams) is VMEM-bounded: keep full rows if they fit at full
+            # node capacity, else band to the widest row that fits, else
+            # (forced band, or band floor reached) shrink N
+            if self.band_sub is None:
+                fit = VMEM_H_BUDGET // ((N + 1) * 512 * k_eff)
+                band_eff = 0 if fit >= sub_l else max(int(fit), 2)
+            else:
+                band_eff = self.band_sub
+            bs_eff = band_eff if 0 < band_eff < sub_l else sub_l
+            while ((N + 1) * bs_eff * 512 * k_eff
                    > VMEM_H_BUDGET) and N > 1024:
                 N -= 256
+            self.stats["k"] = k_eff
+            self.stats["band"] = band_eff
             if not FC.check_capacity(N, self.match, self.mismatch, self.gap,
                                      L, sub_l):
                 mode = "xla"
@@ -195,7 +219,8 @@ class BatchedPOAEngine:
             packed = self._launch_chunk(chunk, windows,
                                         B=len(chunk), D=depth, L=L,
                                         L0=L0, N=N, t_cap=t_cap, mode=mode,
-                                        p_cap=p_cap)
+                                        p_cap=p_cap, interleave=k_eff,
+                                        band_sub=band_eff)
             in_flight.append((chunk, packed))
             if len(in_flight) > MAX_IN_FLIGHT:
                 c, p = in_flight.pop(0)
@@ -235,7 +260,8 @@ class BatchedPOAEngine:
     def _launch_chunk(self, chunk: List[int], windows: List[Window],
                       B: int, D: int, L: int, L0: int, N: int,
                       t_cap: int, mode: Optional[str] = None,
-                      p_cap: Optional[int] = None):
+                      p_cap: Optional[int] = None, interleave: int = 1,
+                      band_sub: int = 0):
         """Build + dispatch the device program for one chunk; returns the
         (still device-resident) download dict.  Each chunk is placed whole
         on one local device, round-robin — computation follows placement,
@@ -312,8 +338,8 @@ class BatchedPOAEngine:
                 put(metas), put(seq_t), put(wts_t), n_cap=N,
                 p_cap=p_cap, sub_l=sub_l, match=self.match,
                 mismatch=self.mismatch, gap=self.gap, t_cap=t_cap,
-                interpret=FC.INTERPRET, interleave=self.interleave,
-                band_sub=self.band_sub)
+                interpret=FC.INTERPRET, interleave=interleave,
+                band_sub=band_sub)
             packed = FC.pack_for_download_chunk(st, nr, p_cap=p_cap)
         else:
             state = E.init_graphs(put(backbone), put(backbone_w),

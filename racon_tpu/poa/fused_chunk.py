@@ -118,6 +118,25 @@ def s_rows(p_cap: int) -> int:
     sublane dim must be 8-aligned."""
     return -(-(R_PREDS + p_cap) // 8) * 8
 
+# Total SMEM scratch capacity per core.  Measured empirically (round 2):
+# allocations at 1.00 MB compile, above fail; keep a small reserve for the
+# double-buffered SMEM input blocks (metas/seq/wts).
+SMEM_BUDGET = (1 << 20) - (1 << 15)
+
+
+def smem_stream_bytes(N: int, p_cap: int, sub_l: int) -> int:
+    """SMEM scratch bytes one interleave stream needs (mirrors the
+    scratch_shapes list in polish_chunk): the packed state table plus the
+    per-rank scalar rows.  The scheduler clamps K so
+    K * smem_stream_bytes <= SMEM_BUDGET — exceeding it is a compile
+    failure on device (tpu_compile_helper exit 1)."""
+    ncol = -(-(N + 1) // 128) * 128
+    lp = sub_l * LANE
+    return 4 * (s_rows(p_cap) * ncol   # state table
+                + 4 * (N + 1)          # hs, tmp_ord, tmp_col, ob
+                + 9 * lp)              # pnode/ppos/ins_*/d_* rows
+
+
 # Set True (tests on the CPU backend) to run the kernel interpreted.
 INTERPRET = False
 

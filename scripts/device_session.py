@@ -138,10 +138,11 @@ def _make_lambda_polisher(wlen=500):
     return p
 
 
-def stage_lambda(cfgs=((1, 0), (2, 0), (2, 2), (4, 2))):
+def stage_lambda(cfgs=((1, 0), (2, -1))):
     """Real lambda windows through BatchedPOAEngine at each (K, band_sub)
-    config: bit-compare consensus vs the first config, steady-state w/s,
-    failure stats (CLAUDE.md timing trap: check failed flags)."""
+    config (band -1 = leave the auto policy): bit-compare consensus vs the
+    first config, steady-state w/s, failure stats (CLAUDE.md timing trap:
+    check failed flags)."""
     from racon_tpu.poa.batched import BatchedPOAEngine
     p = _make_lambda_polisher()
     windows = p.windows
@@ -150,7 +151,8 @@ def stage_lambda(cfgs=((1, 0), (2, 0), (2, 2), (4, 2))):
     for K, band in cfgs:
         try:
             eng = BatchedPOAEngine(5, -4, -8, num_threads=4, interleave=K)
-            eng.band_sub = band
+            if band >= 0:
+                eng.band_sub = band
             t0 = time.time()
             res = eng.polish_windows(windows, p.trim)
             warm = time.time() - t0
@@ -172,7 +174,7 @@ def stage_lambda(cfgs=((1, 0), (2, 0), (2, 2), (4, 2))):
                   f"{ndiff} differing windows", flush=True)
 
 
-def stage_w1000(cfgs=((1, 2), (2, 2))):
+def stage_w1000(cfgs=((1, 2), (1, -1))):
     """w=1000 lambda: banding shrinks the per-rank H row so the full
     node budget fits VMEM — goal fail_nodes=0 (VERDICT round-2 item 3)."""
     from racon_tpu.poa.batched import BatchedPOAEngine
@@ -183,7 +185,8 @@ def stage_w1000(cfgs=((1, 2), (2, 2))):
     for K, band in cfgs:
         try:
             eng = BatchedPOAEngine(5, -4, -8, num_threads=4, interleave=K)
-            eng.band_sub = band
+            if band >= 0:
+                eng.band_sub = band
             t0 = time.time()
             res = eng.polish_windows(windows, p.trim)
             warm = time.time() - t0
@@ -201,10 +204,11 @@ def stage_w1000(cfgs=((1, 2), (2, 2))):
                   f"{ndiff} differing windows", flush=True)
 
 
-def stage_ed():
+def stage_ed(wlen=500, expect=1273):
     """End-to-end verify surface: polish lambda on the TPU engine and
-    edit-distance the contig against the truth (expect 1273; the
-    pre-unstable-sort value was 1329, reference CPU golden 1312)."""
+    edit-distance the contig against the truth (w=500 expect 1273 — the
+    pre-unstable-sort value was 1329, reference CPU golden 1312; w=1000
+    expect 1289 = exact reference golden)."""
     from racon_tpu.pipeline import PolisherType, create_polisher
     from racon_tpu.io.parsers import parse_sequences
     from racon_tpu.native import rtlib
@@ -212,7 +216,7 @@ def stage_ed():
     p = create_polisher(f"{D}/sample_reads.fastq.gz",
                         f"{D}/sample_overlaps.paf.gz",
                         f"{D}/sample_layout.fasta.gz", PolisherType.kC,
-                        500, 10.0, 0.3, True, 5, -4, -8, num_threads=4,
+                        wlen, 10.0, 0.3, True, 5, -4, -8, num_threads=4,
                         engine="tpu")
     p.initialize()
     t0 = time.time()
@@ -221,8 +225,8 @@ def stage_ed():
     s = res[0]
     s.create_reverse_complement()
     ed = rtlib.edit_distance(s.reverse_complement, truth.data)
-    print(f"[ed] lambda e2e TPU ED vs truth: {ed} "
-          f"(polish {time.time() - t0:.1f}s, expect 1273)", flush=True)
+    print(f"[ed] lambda w={wlen} e2e TPU ED vs truth: {ed} "
+          f"(polish {time.time() - t0:.1f}s, expect {expect})", flush=True)
 
 
 if __name__ == "__main__":
@@ -234,6 +238,11 @@ if __name__ == "__main__":
     if "abband" in stages:
         stage_ab(ks=(1, 2, 4), band_sub=2)
         probe(" post-abband")
+    if "abp9" in stages:
+        # p_cap=9 shrinks the per-stream SMEM state (24 vs 32 packed
+        # rows) so K=4 fits the 1 MB SMEM budget
+        stage_ab(ks=(1, 2, 4), P=9)
+        probe(" post-abp9")
     if "ab4" in stages:
         stage_ab(ks=(4,))
         probe(" post-ab4")
@@ -249,4 +258,7 @@ if __name__ == "__main__":
     if "ed" in stages:
         stage_ed()
         probe(" post-ed")
+    if "edw1000" in stages:
+        stage_ed(wlen=1000, expect=1289)
+        probe(" post-edw1000")
     print("DONE", flush=True)

@@ -106,5 +106,10 @@ def test_consensus_edit_distance_scores():
     dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz",
                      match=1, mismatch=-1, gap=-1)
     ed = ed_vs_truth(dst[0])
+    # The only config above the reference golden (1321); pure aligner tie
+    # divergence — the 2026-08-17 sweep over RACON_TPU_ALIGN_ALGO gave
+    # -1:1311 0:1334 1:1345 2:1336 3:1312 4:1283 5:1302, but order 2
+    # stays the default because it wins where it matters more
+    # (fastq+PAF 1273, w=1000 EXACT 1289; order 4 gives 1296/1300 there)
     assert ed == 1336          # racon_tpu pinned (aligner tie divergence)
     assert ed <= 1321 * 1.05   # within 5% of reference golden 1321
