@@ -404,8 +404,9 @@ class Polisher:
 
         Multi-host data parallelism over DCN (replaces the reference
         wrapper's *sequential* target chunking, scripts/racon_wrapper.py:
-        86-148): windows are round-robin sharded by global index across
-        JAX processes, each host polishes its shard on its local chips,
+        86-148): windows are dealt round-robin in depth-sorted order
+        across JAX processes (balances total layer work per host), each
+        host polishes its shard on its local chips,
         and the consensus bytes are all-gathered so every host stitches
         the identical full output."""
         from racon_tpu.parallel import mesh as M
@@ -414,8 +415,15 @@ class Polisher:
         if num_shards == 1:
             return engine.polish_windows(self.windows, self.trim)
 
-        mine = [i for i in range(len(self.windows))
-                if i % num_shards == shard_id]
+        # deal windows in depth-sorted order: coverage (layer count)
+        # varies wildly across a genome, so plain index round-robin can
+        # skew host load — sorting first spreads heavy and light windows
+        # evenly, and each host's engine re-sorts its shard by depth
+        # anyway for chunk homogeneity
+        order = sorted(range(len(self.windows)),
+                       key=lambda i: len(self.windows[i].sequences))
+        mine = [i for pos, i in enumerate(order)
+                if pos % num_shards == shard_id]
         local = engine.polish_windows([self.windows[i] for i in mine],
                                       self.trim)
         # polished flag rides as a one-byte prefix

@@ -72,22 +72,27 @@ def test_sharded_polish_matches_unsharded(monkeypatch):
     ref = make()
     want = ref.polish(drop_unpolished_sequences=False)
 
-    # simulate shard 0 of 2: the engine must only see windows 0,2,4,6 and
-    # the gather injects shard 1's results computed out-of-band
+    # simulate shard 0 of 2: windows are dealt round-robin in
+    # depth-sorted order (load balancing), so recompute the expected
+    # deal with the same rule and inject shard 1's results out-of-band
     p = make()
     other = make()
+    order = sorted(range(len(other.windows)),
+                   key=lambda i: len(other.windows[i].sequences))
+    mine0 = [i for pos, i in enumerate(order) if pos % 2 == 0]
+    mine1 = [i for pos, i in enumerate(order) if pos % 2 == 1]
     engine_other = other._make_engine()
-    results_other = engine_other.polish_windows(other.windows[1::2],
-                                                other.trim)
+    results_other = engine_other.polish_windows(
+        [other.windows[i] for i in mine1], other.trim)
     other_pieces = {i: (b"\x01" if pol else b"\x00") + cons
-                    for i, (cons, pol) in zip(range(1, 8, 2), results_other)}
+                    for i, (cons, pol) in zip(mine1, results_other)}
 
     monkeypatch.setattr(M, "process_shard", lambda: (0, 2))
     seen = {}
 
     def fake_gather(pieces, shard_id, num_shards):
         assert shard_id == 0 and num_shards == 2
-        assert [i for i, _ in pieces] == [0, 2, 4, 6]
+        assert [i for i, _ in pieces] == mine0
         seen.update(dict(pieces))
         seen.update(other_pieces)
         return dict(seen)
