@@ -66,8 +66,16 @@ def process_shard() -> tuple:
     """(shard_id, num_shards) for multi-host window sharding.
 
     Real multi-host runs use the JAX process topology (after
-    initialize_distributed); single-process runs return (0, 1).
+    initialize_distributed); single-process runs return (0, 1) WITHOUT
+    touching jax.process_index() — that initializes the device backend,
+    which a host-only run (--engine oracle/native) must never do (a TPU
+    plugin whose transport is down hangs for minutes in backend setup).
     """
+    import os
+    from jax._src import distributed
+    if (not os.environ.get("RACON_TPU_COORDINATOR")
+            and distributed.global_state.client is None):
+        return 0, 1
     return jax.process_index(), jax.process_count()
 
 

@@ -174,7 +174,7 @@ def stage_lambda(cfgs=((1, 0), (2, -1))):
                   f"{ndiff} differing windows", flush=True)
 
 
-def stage_w1000(cfgs=((1, 2), (1, -1))):
+def stage_w1000(cfgs=((1, 2), (1, -1), (2, -1))):
     """w=1000 lambda: banding shrinks the per-rank H row so the full
     node budget fits VMEM — goal fail_nodes=0 (VERDICT round-2 item 3)."""
     from racon_tpu.poa.batched import BatchedPOAEngine

@@ -78,6 +78,10 @@ def _run_proc(env, args, timeout=240):
     e.update(env)
     e["JAX_PLATFORMS"] = "cpu"
     e.pop("XLA_FLAGS", None)
+    # drop the axon sitecustomize: this test validates CPU multi-host
+    # logic and must never touch the TPU plugin (whose backend init
+    # hangs for minutes when the tunnel is down)
+    e["PYTHONPATH"] = "/root/repo"
     return subprocess.run(
         [sys.executable, "-c", CLI, *args],
         capture_output=True, timeout=timeout, env=e, cwd="/root/repo")
@@ -105,6 +109,7 @@ def test_two_process_polish_matches_single(tmp_path):
         env.update(e)
         env["JAX_PLATFORMS"] = "cpu"
         env.pop("XLA_FLAGS", None)
+        env["PYTHONPATH"] = "/root/repo"
         procs.append(subprocess.Popen(
             [sys.executable, "-c", CLI, *args],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
@@ -116,5 +121,11 @@ def test_two_process_polish_matches_single(tmp_path):
         outs.append(out)
 
     # both hosts stitch the identical full output, equal to single-process
-    assert outs[0] == outs[1]
-    assert outs[0] == single.stdout
+    # (the CPU Gloo collective backend prints a per-rank banner line on
+    # stdout — drop it before comparing the FASTA bytes)
+    def fasta(b: bytes) -> bytes:
+        return b"".join(ln for ln in b.splitlines(keepends=True)
+                        if not ln.startswith(b"[Gloo]"))
+
+    assert fasta(outs[0]) == fasta(outs[1])
+    assert fasta(outs[0]) == fasta(single.stdout)
