@@ -85,6 +85,7 @@ def main() -> int:
           f"({mbps:.3f} Mbases/s e2e) device={stats.get('device')} "
           f"fallback={stats.get('fallback')} trivial={stats.get('trivial')} "
           f"degraded={stats.get('degraded', 0)} "
+          f"k={stats.get('k')} band={stats.get('band')} "
           f"fresh_compiles={n_cached1 - n_cached0} "
           f"(cache entries {n_cached1})",
           file=sys.stderr)
@@ -96,6 +97,8 @@ def main() -> int:
         "vs_baseline": round(wps / CPU_BASELINE_WINDOWS_PER_SEC, 3),
         "e2e_sec": round(e2e, 2),
         "e2e_vs_baseline": round(CPU_BASELINE_E2E_SEC / e2e, 3),
+        "k": stats.get("k", 0),
+        "fallback": stats.get("fallback", 0),
     }))
     return 0
 
