@@ -202,6 +202,12 @@ class TestFusedChunkParity:
         assert bool(np.asarray(st.failed).any())
         assert not bool(np.asarray(st.failed).all())
 
+    def test_interleaved_k4(self):
+        # K=4 with p_cap=9: the config the scheduler picks when asked
+        # for 4 streams (p_cap drops 12->9 to fit the SMEM budget)
+        run_parity(B=4, L0=40, L=96, D=4, N=160, P=9, seed=21,
+                   every_prefix=False, interleave=4)
+
     def test_narrow_rows(self):
         # sub_l = 1 (single 128-lane row)
         run_parity(B=2, L0=24, L=64, D=4, N=96, P=8, seed=5,
