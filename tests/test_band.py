@@ -85,6 +85,30 @@ def test_band_interleaved():
     assert_band_contract(st_f, nr_f, st_b, nr_b, P=8)
 
 
+def test_band_through_scheduler(monkeypatch):
+    """Forced banding through the production scheduler (polish_windows)
+    stays bit-identical to the oracle — flagged windows ride the host
+    fallback transparently."""
+    import random
+
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    from racon_tpu.poa.consensus import consensus_window
+    from tests.test_engine import make_window
+
+    monkeypatch.setattr(FC, "INTERPRET", True)
+    rng = random.Random(77)
+    windows = [make_window(rng, length=60, depth=5, with_quality=True,
+                           partial=True)[0] for _ in range(4)]
+    eng = BatchedPOAEngine(3, -5, -4, batch_size=4, mode="fused",
+                           interleave=2)
+    eng.band_sub = 1
+    got = eng.polish_windows(windows, trim=False)
+    assert eng.stats["band"] == 1
+    for w, (cons, polished) in zip(windows, got):
+        rc, rp = consensus_window(w, 3, -5, -4, trim=False)
+        assert cons == rc and polished == rp
+
+
 def test_band_flags_offdiagonal():
     """A layer that aligns far off the backbone diagonal (prefix of the
     backbone vs a sequence padded with a long tail) must either match the
