@@ -88,16 +88,35 @@ def main():
     ap.add_argument("--out", default="",
                     help="also write the JSON record to this file "
                          "(checked-in BENCH_scale_rN.json artifacts)")
+    ap.add_argument("--workdir", default="",
+                    help="persistent dataset dir: reuse the synthesized "
+                         "genome/reads/overlaps if already present "
+                         "(generation is seeded, so reuse is exact)")
     args = ap.parse_args()
 
     genome_bp = int(args.genome_mb * 1e6)
-    with tempfile.TemporaryDirectory() as tmpdir:
+    import contextlib
+    ctx = (contextlib.nullcontext(args.workdir) if args.workdir
+           else tempfile.TemporaryDirectory())
+    with ctx as tmpdir:
+        os.makedirs(tmpdir, exist_ok=True)
+        gpath = os.path.join(tmpdir, f"genome_{genome_bp}_{args.coverage}.npy")
         t0 = time.time()
-        rpath, opath, tpath, genome = synthesize(
-            tmpdir, genome_bp, args.coverage, args.error, args.read_len)
-        print(f"[scale] synthesized {genome_bp/1e6:.2f} Mb genome, "
-              f"{args.coverage}x reads in {time.time()-t0:.1f}s",
-              file=sys.stderr)
+        if args.workdir and os.path.exists(gpath):
+            genome = np.load(gpath)
+            rpath = os.path.join(tmpdir, "reads.fasta")
+            opath = os.path.join(tmpdir, "overlaps.paf")
+            tpath = os.path.join(tmpdir, "target.fasta")
+            print(f"[scale] reusing cached dataset in {tmpdir}",
+                  file=sys.stderr)
+        else:
+            rpath, opath, tpath, genome = synthesize(
+                tmpdir, genome_bp, args.coverage, args.error, args.read_len)
+            if args.workdir:
+                np.save(gpath, genome)
+            print(f"[scale] synthesized {genome_bp/1e6:.2f} Mb genome, "
+                  f"{args.coverage}x reads in {time.time()-t0:.1f}s",
+                  file=sys.stderr)
 
         from racon_tpu.pipeline import PolisherType, create_polisher
         from racon_tpu.native import rtlib
