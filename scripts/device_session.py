@@ -28,12 +28,12 @@ def probe(tag=""):
     print(f"probe{tag}: PASS ({time.time() - t:.1f}s)", flush=True)
 
 
-def stage_ab(ks=(1, 2), D=22, reps=4, N=1791, P=12, band_sub=0):
+def stage_ab(ks=(1, 2), D=22, reps=4, N=1791, P=12, band_sub=0, B=32):
     from racon_tpu.poa import engine as E
     from racon_tpu.poa import fused_chunk as FC
     from tests.test_fused_chunk import build_chunk_inputs, random_problem
 
-    B, L0, L = 32, 500, 511
+    L0, L = 500, 511
     sub_l = -(-(L + 1) // 128)
     t_cap = N + L
     state0, layers = random_problem(B, L0, L, D, N, P, seed=0, partial=False)
@@ -70,11 +70,13 @@ def stage_ab(ks=(1, 2), D=22, reps=4, N=1791, P=12, band_sub=0):
             print(f"[ab] K={K} band={band_sub}: ERROR "
                   f"{type(e).__name__}: {str(e)[:300]}", flush=True)
             continue
-        sp = "" if base is None else f"  speedup: {base / dt:.2f}x"
+        per_wl = dt / (D * B)   # per-window-layer cost: comparable across B
+        sp = "" if base is None else f"  speedup: {base / per_wl:.2f}x"
         if base is None:
-            base = dt
-        print(f"[ab] K={K} band={band_sub}: {dt * 1e3:8.2f} ms/chunk, "
-              f"{dt / D * 1e3:7.3f} ms/layer-step{sp}", flush=True)
+            base = per_wl
+        print(f"[ab] K={K} band={band_sub} B={B}: {dt * 1e3:8.2f} ms/chunk, "
+              f"{dt / D * 1e3:7.3f} ms/layer-step, "
+              f"{per_wl * 1e6:7.1f} us/window-layer{sp}", flush=True)
 
 
 def stage_phases(ks=(1, 2), D=22, reps=3, N=1791, P=12):
@@ -138,19 +140,22 @@ def _make_lambda_polisher(wlen=500):
     return p
 
 
-def stage_lambda(cfgs=((1, 0), (2, -1), (4, -1))):
-    """Real lambda windows through BatchedPOAEngine at each (K, band_sub)
-    config (band -1 = leave the auto policy): bit-compare consensus vs the
-    first config, steady-state w/s, failure stats (CLAUDE.md timing trap:
-    check failed flags)."""
+def stage_lambda(cfgs=((1, 0), (2, -1), (3, -1, 33), (4, -1))):
+    """Real lambda windows through BatchedPOAEngine at each
+    (K, band_sub[, batch_size]) config (band -1 = leave the auto policy):
+    bit-compare consensus vs the first config, steady-state w/s, failure
+    stats (CLAUDE.md timing trap: check failed flags)."""
     from racon_tpu.poa.batched import BatchedPOAEngine
     p = _make_lambda_polisher()
     windows = p.windows
     print(f"[lambda] {len(windows)} windows", flush=True)
     ref = None
-    for K, band in cfgs:
+    for cfg in cfgs:
+        K, band = cfg[0], cfg[1]
+        bs = cfg[2] if len(cfg) > 2 else 32
         try:
-            eng = BatchedPOAEngine(5, -4, -8, num_threads=4, interleave=K)
+            eng = BatchedPOAEngine(5, -4, -8, num_threads=4, interleave=K,
+                                   batch_size=bs)
             if band >= 0:
                 eng.band_sub = band
             t0 = time.time()
@@ -164,7 +169,7 @@ def stage_lambda(cfgs=((1, 0), (2, -1), (4, -1))):
                   f"{type(e).__name__}: {str(e)[:300]}", flush=True)
             continue
         wps = len(windows) / dt
-        print(f"[lambda] K={K} band={band}: warm={warm:.1f}s "
+        print(f"[lambda] K={K} band={band} bs={bs}: warm={warm:.1f}s "
               f"timed={dt:.2f}s {wps:.1f} w/s stats={eng.stats}", flush=True)
         if ref is None:
             ref = res
@@ -238,6 +243,12 @@ if __name__ == "__main__":
     if "abband" in stages:
         stage_ab(ks=(1, 2, 4), band_sub=2)
         probe(" post-abband")
+    if "ab3" in stages:
+        # K=3 at FULL p_cap=12: 3 x ~276 KB state fits the SMEM budget
+        # without the p_cap=9 shrink (B=33 keeps B % K == 0; the
+        # us/window-layer column is the cross-B-comparable number)
+        stage_ab(ks=(1, 3), B=33)
+        probe(" post-ab3")
     if "abp9" in stages:
         # p_cap=9 shrinks the per-stream SMEM state (24 vs 32 packed
         # rows) so K=4 fits the 1 MB SMEM budget

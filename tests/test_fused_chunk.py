@@ -202,6 +202,12 @@ class TestFusedChunkParity:
         assert bool(np.asarray(st.failed).any())
         assert not bool(np.asarray(st.failed).all())
 
+    def test_interleaved_k3(self):
+        # K=3 at full p_cap: 3 streams' state tables fit the SMEM budget
+        # without the p_cap=9 shrink (needs batch_size % 3 == 0)
+        run_parity(B=6, L0=40, L=96, D=4, N=160, P=8, seed=17,
+                   every_prefix=False, interleave=3)
+
     def test_interleaved_k4(self):
         # K=4 with p_cap=9: the config the scheduler picks when asked
         # for 4 streams (p_cap drops 12->9 to fit the SMEM budget)
