@@ -22,6 +22,8 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 
 def synthesize(tmpdir: str, genome_bp: int, coverage: int, error: float,
                read_len: int, seed: int = 0):
@@ -139,9 +141,14 @@ def main():
             return eng
 
         p._make_engine = capture
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+        n_cached0 = (len(os.listdir(cache_dir))
+                     if os.path.isdir(cache_dir) else 0)
         t0 = time.time()
         res = p.polish()
         t_polish = time.time() - t0
+        n_cached1 = (len(os.listdir(cache_dir))
+                     if os.path.isdir(cache_dir) else 0)
         stats = getattr(engine_holder[0], "stats", {}) if engine_holder \
             else {}
 
@@ -167,6 +174,7 @@ def main():
             "polish_sec": round(t_polish, 1),
             "windows": n_windows,
             "ed_pct": round(ed / genome_bp * 100, 4),
+            "fresh_compiles": n_cached1 - n_cached0,
             "stats": {k: int(v) for k, v in stats.items()},
         }
         print(json.dumps(rec))
