@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import enum
 import sys
+import threading
 from typing import Dict, List, Optional, Tuple
 
 from racon_tpu.core.overlap import Overlap
@@ -100,6 +101,30 @@ class Polisher:
     # ingest
     # ------------------------------------------------------------------ #
 
+    def _prewarm_device(self) -> None:
+        """Start accelerator backend attach concurrently with ingest/align.
+
+        The reference's GPU path constructs its CUDA batches while the
+        host still owns the align phase (src/cuda/cudapolisher.cpp:80-118);
+        here the analogous cold cost is the JAX backend init (through a
+        remote-TPU tunnel it can dwarf the whole host phase), so kick it
+        off on a daemon thread the moment initialize() starts.  polish()
+        then finds the backend live.  Host-only engines must never touch
+        backend init (CLAUDE.md invariant) — gated on the engine name.
+        """
+        if self.engine_name not in ("tpu", "auto"):
+            return
+
+        def _attach():
+            try:
+                import jax
+                jax.devices()
+            except Exception:
+                pass
+
+        threading.Thread(target=_attach, daemon=True,
+                         name="racon-tpu-prewarm").start()
+
     def initialize(self) -> None:
         if self.windows:
             print("[racon_tpu::Polisher.initialize] warning: "
@@ -107,6 +132,7 @@ class Polisher:
             return
 
         self.logger.reset()
+        self._prewarm_device()
         self.sequences = parsers.parse_sequences(self.target_path)
         self.targets_size = len(self.sequences)
         if self.targets_size == 0:

@@ -231,3 +231,37 @@ class TestCreatePolisherValidation:
         p = create_polisher(str(r), str(o), str(t), PolisherType.kC)
         with pytest.raises(RuntimeError, match="empty target"):
             p.initialize()
+
+
+class TestDevicePrewarm:
+    """initialize() overlaps accelerator backend attach with ingest for
+    device engines only (the CLAUDE.md invariant: host-only runs must
+    never touch jax backend init)."""
+
+    def _spawned(self, monkeypatch, synth, engine):
+        import threading
+        spawned = []
+        real = threading.Thread
+
+        class Spy(real):
+            def __init__(self, *a, **kw):
+                if kw.get("name") == "racon-tpu-prewarm":
+                    spawned.append(kw)
+                super().__init__(*a, **kw)
+
+        monkeypatch.setattr(threading, "Thread", Spy)
+        p = create_polisher(synth["rpath"], synth["opath"], synth["tpath"],
+                            PolisherType.kC, 100, 10.0, 0.3, True,
+                            3, -5, -4, 1, engine=engine)
+        p.initialize()
+        return spawned, p
+
+    def test_tpu_engine_prewarms_and_polishes(self, monkeypatch, synth):
+        spawned, p = self._spawned(monkeypatch, synth, "tpu")
+        assert len(spawned) == 1
+        assert len(p.polish(True)) == 1   # pipeline unaffected
+
+    def test_host_engines_do_not_touch_backend(self, monkeypatch, synth):
+        for engine in ("native", "oracle"):
+            spawned, _ = self._spawned(monkeypatch, synth, engine)
+            assert spawned == []
