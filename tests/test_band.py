@@ -118,3 +118,57 @@ def test_band_flags_offdiagonal():
                                       sub_l=4, band_sub=1, seed=6,
                                       partial=False)
     assert_band_contract(st_f, nr_f, st_b, nr_b, P=8, max_flag_frac=1.0)
+
+
+def test_interleave_smem_policy(monkeypatch):
+    """The scheduler's SMEM clamp: when K streams of private state don't
+    fit the budget at full p_cap, it first rescues K by shrinking the
+    state table to p_cap=9 (24 vs 32 packed rows), and only then gives up
+    interleave (K must keep dividing the batch).  Consensus stays correct
+    in every regime (rare >9-pred windows would ride the code-2 host
+    fallback)."""
+    import random
+
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    from racon_tpu.poa.consensus import consensus_window
+    from tests.test_engine import make_window
+
+    monkeypatch.setattr(FC, "INTERPRET", True)
+    rng = random.Random(78)
+    windows = [make_window(rng, length=60, depth=5, with_quality=True)[0]
+               for _ in range(4)]
+    expect = [consensus_window(w, 3, -5, -4, trim=False) for w in windows]
+
+    captured = {}
+    real_polish = FC.polish_chunk
+
+    def spy(*a, **kw):
+        captured.update(kw)
+        return real_polish(*a, **kw)
+
+    monkeypatch.setattr(FC, "polish_chunk", spy)
+
+    def run(expect_k, expect_pcap):
+        eng = BatchedPOAEngine(3, -5, -4, batch_size=4, mode="fused",
+                               interleave=4)
+        got = eng.polish_windows(windows, trim=False)
+        assert eng.stats["k"] == expect_k
+        assert captured["interleave"] == expect_k
+        assert captured["p_cap"] == expect_pcap
+        assert got == expect
+
+    # ample budget: K=4 fits at full p_cap
+    run(4, 12)
+    N, sub_l = captured["n_cap"], captured["sub_l"]
+    s12 = FC.smem_stream_bytes(N, 12, sub_l)
+    s9 = FC.smem_stream_bytes(N, 9, sub_l)
+    assert s9 < s12
+
+    # budget fits 4 streams only with the p_cap=9 state table
+    monkeypatch.setattr(FC, "SMEM_BUDGET", 4 * s9)
+    run(4, 9)
+
+    # budget too small even at p_cap=9 for K=4 -> K clamps to 2 (must
+    # divide the batch of 4) at full p_cap
+    monkeypatch.setattr(FC, "SMEM_BUDGET", 2 * s12)
+    run(2, 12)
