@@ -62,6 +62,12 @@ def main() -> int:
     n_cached0 = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
     windows_snapshot = p.windows
     eng = p._make_engine()
+    # if the TPU backend was unreachable _make_engine degrades to the
+    # native host engine — record what actually ran so a degraded bench
+    # can't masquerade as a device number
+    engine_used = {"BatchedPOAEngine": "tpu", "NativePOAEngine": "native",
+                   "OraclePOAEngine": "oracle"}.get(
+                       type(eng).__name__, type(eng).__name__)
     t0 = time.time()
     results = eng.polish_windows(windows_snapshot, p.trim)
     warm = time.time() - t0
@@ -80,7 +86,8 @@ def main() -> int:
     mbps = polished_bases / e2e / 1e6
 
     stats = getattr(eng, "stats", {})
-    print(f"[bench] engine={engine} windows={n_windows} init={t_init:.2f}s "
+    print(f"[bench] engine={engine} used={engine_used} "
+          f"windows={n_windows} init={t_init:.2f}s "
           f"warm={warm:.2f}s timed={dt:.2f}s e2e={e2e:.2f}s "
           f"({mbps:.3f} Mbases/s e2e) device={stats.get('device')} "
           f"fallback={stats.get('fallback')} trivial={stats.get('trivial')} "
@@ -99,6 +106,7 @@ def main() -> int:
         "e2e_vs_baseline": round(CPU_BASELINE_E2E_SEC / e2e, 3),
         "k": stats.get("k", 0),
         "fallback": stats.get("fallback", 0),
+        "engine": engine_used,
     }))
     return 0
 

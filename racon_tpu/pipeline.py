@@ -364,14 +364,22 @@ class Polisher:
                                         batch_size=self.batch_size,
                                         num_threads=self.num_threads)
             except Exception as e:  # pragma: no cover
+                # degrade to the fastest host engine (the C++ oracle),
+                # mirroring the reference's GPU->CPU fallback tier —
+                # the NumPy oracle is the last resort below
                 print(f"[racon_tpu::Polisher.polish] warning: TPU engine "
-                      f"unavailable ({e}); falling back to oracle",
-                      file=sys.stderr)
-                name = "oracle"
+                      f"unavailable ({e}); falling back to the native "
+                      f"host engine", file=sys.stderr)
+                name = "native"
         if name == "native":
-            from racon_tpu.poa.native_engine import NativePOAEngine
-            return NativePOAEngine(self.match, self.mismatch, self.gap,
-                                   self.num_threads)
+            try:
+                from racon_tpu.poa.native_engine import NativePOAEngine
+                return NativePOAEngine(self.match, self.mismatch, self.gap,
+                                       self.num_threads)
+            except Exception as e:  # pragma: no cover - no compiler
+                print(f"[racon_tpu::Polisher.polish] warning: native "
+                      f"engine unavailable ({e}); falling back to the "
+                      f"NumPy oracle", file=sys.stderr)
         from racon_tpu.poa.oracle_engine import OraclePOAEngine
         return OraclePOAEngine(self.match, self.mismatch, self.gap)
 
