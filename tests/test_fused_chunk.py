@@ -298,3 +298,30 @@ class TestFusedChunkEngine:
                                                       trim=False)
             assert polished == ref_polished
             assert cons == ref_cons
+
+    def test_ragged_chunk_interleaved(self, monkeypatch):
+        """A final chunk smaller than batch_size pads with inactive
+        windows; with K=2 interleave a padded slot shares a stream pair
+        with a real window (genome-scale runs hit this on their last
+        chunk — lambda's 96 = 3 x 32 never does).  Output must still
+        match the oracle with zero fallbacks."""
+        import random
+
+        from racon_tpu.poa.batched import BatchedPOAEngine
+        from racon_tpu.poa.consensus import consensus_window
+        from tests.test_engine import make_window
+
+        monkeypatch.setattr(FC, "INTERPRET", True)
+        rng = random.Random(13)
+        windows = [make_window(rng, length=80, depth=5, with_quality=True,
+                               partial=True)[0] for _ in range(6)]
+        engine = BatchedPOAEngine(3, -5, -4, batch_size=8, mode="fused",
+                                  interleave=2)
+        got = engine.polish_windows(windows, trim=False)
+        assert engine.stats["k"] == 2
+        assert engine.stats["fallback"] == 0, "device flagged failures"
+        for w, (cons, polished) in zip(windows, got):
+            ref_cons, ref_polished = consensus_window(w, 3, -5, -4,
+                                                      trim=False)
+            assert polished == ref_polished
+            assert cons == ref_cons
