@@ -168,17 +168,14 @@ class BatchedPOAEngine:
             from racon_tpu.poa import fused_chunk as FC
             sub_l = -(-(L + 1) // 128)
             # interleave streams are SMEM-bounded (each carries a private
-            # state table); K is clamped per batch, not failed.  Before
-            # dropping K, try shrinking the state table via p_cap=9 (24
-            # vs 32 packed rows) — rare >9-pred windows then fail to the
-            # host (code 2) instead of every window losing interleave
+            # state table); K is clamped per batch, not failed.  The
+            # 16-bit row packing (fused_chunk cov+rep / letter pairs)
+            # keeps the table at 24 padded rows for any p_cap in 5..12,
+            # so shrinking p_cap can no longer rescue K — the old p_cap=9
+            # fallback (and its ~2% >9-pred host-fallback tax) is gone
             k_eff = self.interleave
             while (k_eff > 1 and FC.smem_stream_bytes(N, p_cap, sub_l)
                    * k_eff > FC.SMEM_BUDGET):
-                if (p_cap > 9 and FC.smem_stream_bytes(N, 9, sub_l)
-                        * k_eff <= FC.SMEM_BUDGET):
-                    p_cap = 9
-                    break
                 k_eff -= 1
                 while self.batch_size % k_eff:
                     k_eff -= 1

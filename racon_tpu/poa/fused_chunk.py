@@ -91,21 +91,40 @@ NR_LANE = 32              # per-node overflow-row width (>= 2*P)
 MAX_SUB = 16              # packed row capacity cap: L+1 <= 2048
 
 # state-table row indices (the packed per-window scalar state, one SMEM
-# block of shape (S, N+1) per window)
+# block of shape (S, N+1) per window).  Rows the DP hot loop never reads
+# are 16-bit PACKED two-to-a-row (cov+rep; letter pairs): at p_cap=12 that
+# takes the table from 32 to 24 padded rows, which is what lets K=4
+# interleave streams fit the SMEM budget at FULL p_cap (no p_cap=9
+# fallback tax).  Packed fields assume node ids and coverage < 2^15 —
+# node capacity N is VMEM-bounded far below that, and cov is already
+# downcast to int16 on download.
 R_ORDER = 0     # rank -> node
 R_RANK = 1      # node -> rank
-R_COL = 2       # rank -> dense column index
+R_COL = 2      # rank -> dense column index
 R_CODES = 3     # node -> base code
 R_CNT = 4       # node -> predecessor count
-R_COV = 5       # node -> coverage
-R_REP = 6       # node -> column representative
-R_PW0 = 7       # node -> pred slot 0 weight
-R_PW1 = 8       # node -> pred slot 1 weight
-R_MISC = 9      # [0] = n_nodes, [1] = failed
-R_LETN = 10     # + letter: column-member node per letter (-1), rep-indexed
-R_PREDS = R_LETN + ALPHABET   # + p: pred id slot p, 0 <= p < P (N = empty)
+R_CVREP = 5     # node -> (column representative << 16) | coverage
+R_PW0 = 6       # node -> pred slot 0 weight
+R_PW1 = 7       # node -> pred slot 1 weight
+R_MISC = 8      # [0] = n_nodes, [1] = failed
+R_LETN = 9      # + (letter >> 1): column-member node per letter pair,
+#                 two 16-bit signed halves (-1 = none), rep-indexed;
+#                 letter & 1 selects the half (odd letter = high half)
+LETN_ROWS = (ALPHABET + 1) // 2
+R_PREDS = R_LETN + LETN_ROWS  # + p: pred id slot p, 0 <= p < P (N = empty)
 R_P0 = R_PREDS
 R_P1 = R_PREDS + 1
+
+
+def _sext_lo16(word):
+    """Sign-extended low 16-bit half of a packed int32 scalar/array
+    (jnp shifts: arithmetic for signed dtypes, broadcasting)."""
+    return jnp.right_shift(jnp.left_shift(word, 16), 16)
+
+
+def _hi16(word):
+    """Sign-extended high 16-bit half of a packed int32 scalar/array."""
+    return jnp.right_shift(word, 16)
 
 
 def s_rows(p_cap: int) -> int:
@@ -310,8 +329,7 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                 c = bb_ref[k, 0, v]
                 st[k, R_CODES, v] = c
                 st[k, R_CNT, v] = jnp.where(first, 0, 1)
-                st[k, R_COV, v] = jnp.int32(1)
-                st[k, R_REP, v] = v
+                st[k, R_CVREP, v] = v * 65536 + 1      # rep = v, cov = 1
                 st[k, R_P0, v] = jnp.where(first, N, v - 1)
                 st[k, R_P1, v] = jnp.int32(N)
                 wv = bbw_ref[k, 0, v]
@@ -319,8 +337,11 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                 st[k, R_PW0, v] = jnp.where(first, 0, wv + wp)
                 st[k, R_PW1, v] = jnp.int32(0)
                 lc = jnp.clip(c, 0, ALPHABET - 1)
-                for l in range(ALPHABET):
-                    st[k, R_LETN + l, v] = jnp.where(lc == l, v, -1)
+                for lr in range(LETN_ROWS):
+                    lo = jnp.where(lc == 2 * lr, v, -1)
+                    hi = (jnp.where(lc == 2 * lr + 1, v, -1)
+                          if 2 * lr + 1 < ALPHABET else jnp.int32(-1))
+                    st[k, R_LETN + lr, v] = hi * 65536 + (lo & 0xFFFF)
                 return 0
 
             jax.lax.fori_loop(0, blen, init_body, 0)
@@ -329,14 +350,13 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             st[k, R_COL, N] = jnp.int32(0)
             st[k, R_CODES, N] = jnp.int32(PAD_CODE)
             st[k, R_CNT, N] = jnp.int32(0)
-            st[k, R_COV, N] = jnp.int32(0)
-            st[k, R_REP, N] = jnp.int32(N)
+            st[k, R_CVREP, N] = jnp.int32(N) * 65536    # rep = N, cov = 0
             st[k, R_P0, N] = jnp.int32(N)
             st[k, R_P1, N] = jnp.int32(N)
             st[k, R_PW0, N] = jnp.int32(0)
             st[k, R_PW1, N] = jnp.int32(0)
-            for l in range(ALPHABET):
-                st[k, R_LETN + l, N] = jnp.int32(-1)
+            for lr in range(LETN_ROWS):
+                st[k, R_LETN + lr, N] = jnp.int32(-1)
             st[k, R_MISC, 0] = blen
             st[k, R_MISC, 1] = jnp.int32(0)
             noderow[k] = jnp.broadcast_to(empty_row[:, None, :],
@@ -746,8 +766,11 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             matched = v >= 0
             vsafe = jnp.where(matched, v, N)
             code_v = st[k, R_CODES, vsafe]
-            rep_n = st[k, R_REP, vsafe]
-            sib = st[k, R_LETN + lclip, jnp.clip(rep_n, 0, N)]
+            rep_n = _hi16(st[k, R_CVREP, vsafe])
+            lrow = lclip // 2          # packed letn row / half selectors
+            lhalf = lclip & 1
+            lword = st[k, R_LETN + lrow, jnp.clip(rep_n, 0, N)]
+            sib = jnp.where(lhalf == 0, _sext_lo16(lword), _hi16(lword))
 
             same = matched & (code_v == letter)
             use_sib = matched & ~same & (sib >= 0)
@@ -789,15 +812,15 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             def _():
                 st[k, R_CODES, new_id] = letter
                 st[k, R_CNT, new_id] = jnp.int32(0)
-                st[k, R_COV, new_id] = jnp.int32(0)  # +1 via delta below
-                st[k, R_REP, new_id] = jnp.where(created_matched, rep_n,
-                                                 new_id)
+                # rep packed with cov = 0 (the +1 lands via delta below)
+                st[k, R_CVREP, new_id] = jnp.where(created_matched, rep_n,
+                                                   new_id) * 65536
                 st[k, R_P0, new_id] = jnp.int32(N)
                 st[k, R_P1, new_id] = jnp.int32(N)
                 st[k, R_PW0, new_id] = jnp.int32(0)
                 st[k, R_PW1, new_id] = jnp.int32(0)
-                for l in range(ALPHABET):
-                    st[k, R_LETN + l, new_id] = jnp.int32(-1)
+                for lr in range(LETN_ROWS):
+                    st[k, R_LETN + lr, new_id] = jnp.int32(-1)
                 noderow[k, new_id] = empty_row
                 ins_node[k, jnp.clip(k_ins, 0, LP - 1)] = new_id
                 # run keys fixed later
@@ -809,7 +832,10 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             # is live pre-layer state — defer to the delta list.
             @pl.when(act & create & ~matched)
             def _():
-                st[k, R_LETN + lclip, new_id] = new_id
+                # the row was just cleared to -1, so the sibling half is
+                # known: construct the packed word without a read
+                st[k, R_LETN + lrow, new_id] = jnp.where(
+                    lhalf == 0, new_id - 65536, new_id * 65536 + 0xFFFF)
 
             # edge slot resolution against pre-layer state (heads are
             # touched at most once per layer, so pre-merge reads are exact;
@@ -986,15 +1012,23 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                 @pl.when(live)
                 def _(k=k, head=head, flag=flag, tail=tail, w=w,
                       packed_slot=packed_slot, slot=slot):
-                    st[k, R_COV, head] = st[k, R_COV, head] + 1
+                    # cov lives in the low 16 bits of the packed word, so
+                    # the increment works on the word directly (cov never
+                    # nears the 2^16 carry: depth is bounded far below)
+                    st[k, R_CVREP, head] = st[k, R_CVREP, head] + 1
 
                     @pl.when(flag >= 2)  # deferred column-letter register
                     def _():
                         rl = packed_slot - slot * 8 * (N + 1)
                         rep_n = rl // 8
-                        lclip = rl - rep_n * 8
-                        st[k, R_LETN + jnp.clip(lclip, 0, ALPHABET - 1),
-                           jnp.clip(rep_n, 0, N)] = head
+                        lclip = jnp.clip(rl - rep_n * 8, 0, ALPHABET - 1)
+                        rc = jnp.clip(rep_n, 0, N)
+                        old = st[k, R_LETN + lclip // 2, rc]
+                        # replace one 16-bit half, keep the sibling half
+                        st[k, R_LETN + lclip // 2, rc] = jnp.where(
+                            (lclip & 1) == 0,
+                            _hi16(old) * 65536 + head,
+                            head * 65536 + (old & 0xFFFF))
 
                     @pl.when(tail >= 0)
                     def _():
@@ -1198,7 +1232,7 @@ def pack_for_download_chunk(state, noderow, p_cap: int):
         pred=pred.astype(jnp.int16),
         pred_w=pred_w,
         pred_cnt=state[:, R_CNT, :].astype(jnp.int16),
-        cov=state[:, R_COV, :].astype(jnp.int16),
+        cov=(state[:, R_CVREP, :] & 0xFFFF).astype(jnp.int16),
         order=state[:, R_ORDER, :-1].astype(jnp.int16),
         rank=jnp.minimum(state[:, R_RANK, :],
                          jnp.int32(2 ** 15 - 1)).astype(jnp.int16),
@@ -1234,11 +1268,13 @@ def unpack_chunk_state(state, noderow, p_cap: int):
     pred = jnp.where(node_ok[:, :, None] & slot_ok, pred, N)
     pred_w = jnp.where(node_ok[:, :, None] & slot_ok, pred_w, 0)
 
-    letn = jnp.stack([state[:, R_LETN + l, :] for l in range(ALPHABET)],
-                     axis=2)
+    letn = jnp.stack(
+        [_sext_lo16(state[:, R_LETN + l // 2, :]) if l % 2 == 0
+         else _hi16(state[:, R_LETN + l // 2, :]) for l in range(ALPHABET)],
+        axis=2)
     letter_node = jnp.where(node_ok[:, :, None], letn, -1)
-    rep = jnp.where(node_ok, state[:, R_REP, :], N)
-    cov = jnp.where(node_ok, state[:, R_COV, :], 0)
+    rep = jnp.where(node_ok, _hi16(state[:, R_CVREP, :]), N)
+    cov = jnp.where(node_ok, state[:, R_CVREP, :] & 0xFFFF, 0)
     codes = jnp.where(node_ok, state[:, R_CODES, :], PAD_CODE)
     cnt = jnp.where(node_ok, state[:, R_CNT, :], 0)
     rank = jnp.where(node_ok, state[:, R_RANK, :], BIG_RANK)

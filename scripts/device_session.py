@@ -244,16 +244,19 @@ if __name__ == "__main__":
         stage_ab(ks=(1, 2, 4), band_sub=2)
         probe(" post-abband")
     if "ab3" in stages:
-        # K=3 at FULL p_cap=12: 3 x ~276 KB state fits the SMEM budget
-        # without the p_cap=9 shrink (B=33 keeps B % K == 0; the
+        # K=3 at full p_cap=12 (B=33 keeps B % K == 0; the
         # us/window-layer column is the cross-B-comparable number)
         stage_ab(ks=(1, 3), B=33)
         probe(" post-ab3")
-    if "abp9" in stages:
-        # p_cap=9 shrinks the per-stream SMEM state (24 vs 32 packed
-        # rows) so K=4 fits the 1 MB SMEM budget
-        stage_ab(ks=(1, 2, 4), P=9)
-        probe(" post-abp9")
+    if "abk4" in stages:
+        # K=4 at FULL p_cap=12: the 16-bit state-row packing (cov+rep,
+        # letter pairs -> 24 padded rows) fits 4 private streams in SMEM;
+        # H rows at N=1791 x 4 streams sit right at the VMEM budget, so
+        # also try band=2 (halves H) in case full rows fail to compile
+        stage_ab(ks=(1, 2, 4))
+        probe(" post-abk4")
+        stage_ab(ks=(4,), band_sub=2)
+        probe(" post-abk4band")
     if "ab4" in stages:
         stage_ab(ks=(4,))
         probe(" post-ab4")

@@ -122,11 +122,10 @@ def test_band_flags_offdiagonal():
 
 def test_interleave_smem_policy(monkeypatch):
     """The scheduler's SMEM clamp: when K streams of private state don't
-    fit the budget at full p_cap, it first rescues K by shrinking the
-    state table to p_cap=9 (24 vs 32 packed rows), and only then gives up
-    interleave (K must keep dividing the batch).  Consensus stays correct
-    in every regime (rare >9-pred windows would ride the code-2 host
-    fallback)."""
+    fit the budget at full p_cap, K steps down (and must keep dividing
+    the batch).  With the 16-bit state-row packing the table is 24
+    padded rows for any p_cap in 5..12, so p_cap shrinking is no longer
+    a rescue lever.  Consensus stays correct in every regime."""
     import random
 
     from racon_tpu.poa.batched import BatchedPOAEngine
@@ -161,14 +160,15 @@ def test_interleave_smem_policy(monkeypatch):
     run(4, 12)
     N, sub_l = captured["n_cap"], captured["sub_l"]
     s12 = FC.smem_stream_bytes(N, 12, sub_l)
-    s9 = FC.smem_stream_bytes(N, 9, sub_l)
-    assert s9 < s12
+    # the 16-bit packing makes the p_cap=9 table the SAME size (both pad
+    # to 24 rows) — the old p_cap-shrink rescue is structurally dead
+    assert FC.smem_stream_bytes(N, 9, sub_l) == s12
 
-    # budget fits 4 streams only with the p_cap=9 state table
-    monkeypatch.setattr(FC, "SMEM_BUDGET", 4 * s9)
-    run(4, 9)
-
-    # budget too small even at p_cap=9 for K=4 -> K clamps to 2 (must
-    # divide the batch of 4) at full p_cap
+    # budget fits only 2 streams -> K clamps to 2 (must divide the batch
+    # of 4) at full p_cap
     monkeypatch.setattr(FC, "SMEM_BUDGET", 2 * s12)
     run(2, 12)
+
+    # budget below a single stream's needs: interleave fully disabled
+    monkeypatch.setattr(FC, "SMEM_BUDGET", s12)
+    run(1, 12)
