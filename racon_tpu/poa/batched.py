@@ -49,6 +49,13 @@ def _depth_ladder(d: int) -> int:
 # ~16 MB core VMEM holds the noderow blocks and layer tiles
 VMEM_H_BUDGET = int(14.8 * (1 << 20))
 
+# Max layers per device window: node coverage is a 16-bit packed field in
+# the chunk kernel's state table (int16 on download), so a node touched by
+# every layer must stay < 2^15.  Deeper windows (absurd coverage; the
+# reference GPU path caps depth at 200, src/cuda/cudapolisher.cpp:226)
+# fall back to the host oracle, which has no cap.
+DEPTH_CAP = 30000
+
 
 class BatchedPOAEngine:
     """Polishes windows with the batched JAX POA engine."""
@@ -134,7 +141,11 @@ class BatchedPOAEngine:
             if len(w.sequences) < 3:
                 results[i] = (w.sequences[0], False)
                 self.stats["trivial"] += 1
-            elif max(len(s) for s in w.sequences[1:]) > l_cap:
+            elif (max(len(s) for s in w.sequences[1:]) > l_cap
+                    or len(w.sequences) - 1 > DEPTH_CAP):
+                # depth-capped windows ride the host oracle: per-node
+                # coverage lives in a 16-bit packed field on device (and
+                # was always downcast to int16 on download)
                 oversize.append(i)
             else:
                 eligible.append(i)

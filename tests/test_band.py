@@ -120,6 +120,28 @@ def test_band_flags_offdiagonal():
     assert_band_contract(st_f, nr_f, st_b, nr_b, P=8, max_flag_frac=1.0)
 
 
+def test_depth_cap_routes_to_host(monkeypatch):
+    """Windows deeper than DEPTH_CAP must ride the host-oracle fallback
+    (device coverage is a 16-bit packed field), with identical output."""
+    import random
+
+    import racon_tpu.poa.batched as BT
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    from racon_tpu.poa.consensus import consensus_window
+    from tests.test_engine import make_window
+
+    monkeypatch.setattr(FC, "INTERPRET", True)
+    monkeypatch.setattr(BT, "DEPTH_CAP", 6)
+    rng = random.Random(5)
+    windows = [make_window(rng, length=50, depth=d, with_quality=True)[0]
+               for d in (4, 8)]        # depth 8 > cap 6 -> host
+    expect = [consensus_window(w, 3, -5, -4, trim=False) for w in windows]
+    eng = BatchedPOAEngine(3, -5, -4, batch_size=4, mode="fused")
+    got = eng.polish_windows(windows, trim=False)
+    assert got == expect
+    assert eng.stats["fallback"] == 1
+
+
 def test_interleave_smem_policy(monkeypatch):
     """The scheduler's SMEM clamp: when K streams of private state don't
     fit the budget at full p_cap, K steps down (and must keep dividing
