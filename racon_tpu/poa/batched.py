@@ -45,9 +45,12 @@ def _depth_ladder(d: int) -> int:
     return _round_up(d, 64)
 
 
-# VMEM budget for the chunk kernel's on-chip H matrix; the rest of the
-# ~16 MB core VMEM holds the noderow blocks and layer tiles
-VMEM_H_BUDGET = int(14.8 * (1 << 20))
+# Core VMEM budget for the chunk kernel: the H scratch plus the
+# double-buffered per-stream output blocks (fused_chunk
+# vmem_stream_fixed_bytes) must fit in it; layer-tile input blocks are
+# small enough to live in the reserve.  (Was a 14.8 MB H-only budget,
+# calibrated at K<=2 where the fixed blocks were noise.)
+VMEM_BUDGET = int(15.2 * (1 << 20))
 
 # Max layers per device window: node coverage is a 16-bit packed field in
 # the chunk kernel's state table (int16 on download), so a node touched by
@@ -193,15 +196,21 @@ class BatchedPOAEngine:
             # the on-chip H matrix ((N+1) x rows x 512 B per stream x K
             # streams) is VMEM-bounded: keep full rows if they fit at full
             # node capacity, else band to the widest row that fits, else
-            # (forced band, or band floor reached) shrink N
+            # (forced band, or band floor reached) shrink N.  The budget
+            # charges the double-buffered per-stream output blocks first
+            # (state + noderow, ~0.8 MB/stream at lambda scale) — at K=4
+            # they push full H rows past the core limit on their own
+            avail = VMEM_BUDGET - k_eff * FC.vmem_stream_fixed_bytes(
+                N, p_cap)
             if self.band_sub is None:
-                fit = VMEM_H_BUDGET // ((N + 1) * 512 * k_eff)
+                fit = avail // ((N + 1) * 512 * k_eff)
                 band_eff = 0 if fit >= sub_l else max(int(fit), 2)
             else:
                 band_eff = self.band_sub
             bs_eff = band_eff if 0 < band_eff < sub_l else sub_l
             while ((N + 1) * bs_eff * 512 * k_eff
-                   > VMEM_H_BUDGET) and N > 1024:
+                   > VMEM_BUDGET - k_eff * FC.vmem_stream_fixed_bytes(
+                       N, p_cap)) and N > 1024:
                 N -= 256
             self.stats["k"] = k_eff
             self.stats["band"] = band_eff

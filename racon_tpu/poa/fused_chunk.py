@@ -156,6 +156,18 @@ def smem_stream_bytes(N: int, p_cap: int, sub_l: int) -> int:
                 + 9 * lp)              # pnode/ppos/ins_*/d_* rows
 
 
+def vmem_stream_fixed_bytes(N: int, p_cap: int) -> int:
+    """Non-H VMEM bytes one interleave stream pins (mirrors polish_chunk's
+    out_specs): the state and noderow output blocks, double-buffered by
+    Pallas across grid steps.  The scheduler must subtract K times this
+    from the core VMEM budget before sizing the H scratch — at K=4 these
+    blocks are ~0.8 MB/stream, enough to push full H rows past the core
+    limit even when H alone fits."""
+    ncol = -(-(N + 1) // 128) * 128
+    return 4 * 2 * (s_rows(p_cap) * ncol     # state out block
+                    + (N + 1) * NR_LANE)     # noderow out block
+
+
 # Set True (tests on the CPU backend) to run the kernel interpreted.
 INTERPRET = False
 
