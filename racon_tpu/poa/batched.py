@@ -79,13 +79,13 @@ class BatchedPOAEngine:
         if interleave is None:
             interleave = int(os.environ.get("RACON_TPU_K", "2"))
         # K window streams per grid step share one stacked vector chain in
-        # the DP (fused_chunk.py dp_tail); K must divide the batch.
-        # Default 2: measured 1.44x per layer-step on real TPU (lambda
-        # scale), consensus bit-identical to K=1.  Per-batch the scheduler
-        # clamps K to the SMEM budget (fused_chunk.smem_stream_bytes).
+        # the DP (fused_chunk.py dp_tail).  Default 2: measured 1.44x per
+        # layer-step on real TPU (lambda scale), consensus bit-identical
+        # to K=1.  Per-batch the scheduler clamps K to the SMEM budget
+        # (fused_chunk.smem_stream_bytes); the launch pads the batch up
+        # to a multiple of K, so K need not divide batch_size (K=3 at
+        # the default batch of 32 pads one inactive slot).
         self.interleave = max(1, interleave)
-        while self.batch_size % self.interleave:
-            self.interleave -= 1
         # banded DP row width in sublanes; "auto" (default) keeps full
         # rows while they fit VMEM at full node capacity and otherwise
         # bands to the widest row that fits (band-edge windows fail to
@@ -191,8 +191,6 @@ class BatchedPOAEngine:
             while (k_eff > 1 and FC.smem_stream_bytes(N, p_cap, sub_l)
                    * k_eff > FC.SMEM_BUDGET):
                 k_eff -= 1
-                while self.batch_size % k_eff:
-                    k_eff -= 1
             # the on-chip H matrix ((N+1) x rows x 512 B per stream x K
             # streams) is VMEM-bounded: keep full rows if they fit at full
             # node capacity, else band to the widest row that fits, else
@@ -303,7 +301,10 @@ class BatchedPOAEngine:
         self._next_device += 1
         put = lambda x: jax.device_put(jnp.asarray(x), device)
 
-        Bp = self.batch_size  # pad batch to fixed size for compile reuse
+        # pad the batch to a fixed size for compile reuse, rounded up to a
+        # multiple of the interleave so K need not divide batch_size (the
+        # extra slots carry no active layers)
+        Bp = -(-self.batch_size // max(interleave, 1)) * max(interleave, 1)
         backbone = np.full((Bp, L0), E.PAD_CODE, np.int32)
         backbone_w = np.zeros((Bp, L0), np.int32)
         backbone_len = np.zeros(Bp, np.int32)

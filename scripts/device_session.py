@@ -140,7 +140,7 @@ def _make_lambda_polisher(wlen=500):
     return p
 
 
-def stage_lambda(cfgs=((1, 0), (2, -1), (3, -1, 33), (4, -1))):
+def stage_lambda(cfgs=((1, 0), (2, -1), (3, -1), (4, -1))):
     """Real lambda windows through BatchedPOAEngine at each
     (K, band_sub[, batch_size]) config (band -1 = leave the auto policy):
     bit-compare consensus vs the first config, steady-state w/s, failure

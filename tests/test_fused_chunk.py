@@ -325,3 +325,29 @@ class TestFusedChunkEngine:
                                                       trim=False)
             assert polished == ref_polished
             assert cons == ref_cons
+
+    def test_interleave_not_dividing_batch(self, monkeypatch):
+        """K need not divide batch_size: the launch pads the batch up to
+        a multiple of K (K=3 at batch 4 -> 6 slots, 2 inactive), so K=3
+        is usable at the production batch of 32.  Output must match the
+        oracle with zero fallbacks."""
+        import random
+
+        from racon_tpu.poa.batched import BatchedPOAEngine
+        from racon_tpu.poa.consensus import consensus_window
+        from tests.test_engine import make_window
+
+        monkeypatch.setattr(FC, "INTERPRET", True)
+        rng = random.Random(29)
+        windows = [make_window(rng, length=80, depth=5, with_quality=True,
+                               partial=True)[0] for _ in range(4)]
+        engine = BatchedPOAEngine(3, -5, -4, batch_size=4, mode="fused",
+                                  interleave=3)
+        got = engine.polish_windows(windows, trim=False)
+        assert engine.stats["k"] == 3
+        assert engine.stats["fallback"] == 0, "device flagged failures"
+        for w, (cons, polished) in zip(windows, got):
+            ref_cons, ref_polished = consensus_window(w, 3, -5, -4,
+                                                      trim=False)
+            assert polished == ref_polished
+            assert cons == ref_cons
