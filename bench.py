@@ -93,6 +93,7 @@ def main() -> int:
           f"fallback={stats.get('fallback')} trivial={stats.get('trivial')} "
           f"degraded={stats.get('degraded', 0)} "
           f"k={stats.get('k')} band={stats.get('band')} "
+          f"host_assist={stats.get('host_assist', 0)} "
           f"fresh_compiles={n_cached1 - n_cached0} "
           f"(cache entries {n_cached1})",
           file=sys.stderr)
@@ -106,6 +107,7 @@ def main() -> int:
         "e2e_vs_baseline": round(CPU_BASELINE_E2E_SEC / e2e, 3),
         "k": stats.get("k", 0),
         "fallback": stats.get("fallback", 0),
+        "host_assist": stats.get("host_assist", 0),
         "engine": engine_used,
     }))
     return 0

@@ -402,6 +402,13 @@ class Polisher:
             results = self._polish_windows_sharded(engine)
         meter.add(len(results), sum(len(c) for c, _ in results))
         meter.report()
+        stats = getattr(engine, "stats", None)
+        if stats and (stats.get("host_assist") or stats.get("fallback")):
+            print(f"[racon_tpu::Polisher.polish] engine split: "
+                  f"{stats.get('device', 0)} device, "
+                  f"{stats.get('host_assist', 0)} host-assist, "
+                  f"{stats.get('fallback', 0)} fallback, "
+                  f"{stats.get('trivial', 0)} trivial", file=sys.stderr)
 
         dst: List[Sequence] = []
         polished_data = bytearray()

@@ -15,7 +15,9 @@ over the device mesh for multi-chip runs (racon_tpu/parallel).
 
 from __future__ import annotations
 
+import os
 import sys
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -228,6 +230,71 @@ class BatchedPOAEngine:
         # ~min(depth)==max(depth) layer steps with no idle layer slots
         eligible.sort(key=lambda i: len(windows[i].sequences))
 
+        # Host-assist work stealing: while the device crunches a resident
+        # chunk the host core is idle (one blocking RPC per chunk), so a
+        # native C++ worker polishes windows from the deep end of the same
+        # depth-sorted queue — bit-identical output, so mixing engines is
+        # free.  This inverts the reference's heterogeneous fallback
+        # (src/cuda/cudapolisher.cpp:354-378): the CPU is a proactive
+        # co-worker, not just a safety net.  Both consumers steal through
+        # one cursor pair until they meet, which auto-balances regardless
+        # of the per-window cost model.
+        _assist_env = os.environ.get("RACON_TPU_HOST_ASSIST", "1")
+        if _assist_env == "force":
+            assist_on = bool(eligible)
+        elif _assist_env in ("0", "") or mode != "fused":
+            assist_on = False
+        else:
+            from racon_tpu.poa import fused_chunk as _FC
+            assist_on = bool(eligible) and not _FC.INTERPRET
+        if assist_on:
+            try:
+                from racon_tpu.native import rtlib as _assist_rtlib
+            except Exception:  # pragma: no cover - no compiler available
+                assist_on = False
+
+        cursor_lock = threading.Lock()
+        cursor = {"front": 0, "back": len(eligible)}
+
+        def _take_front(n: int) -> List[int]:
+            with cursor_lock:
+                lo = cursor["front"]
+                hi = min(lo + n, cursor["back"])
+                cursor["front"] = hi
+                return eligible[lo:hi]
+
+        def _take_back(n: int) -> List[int]:
+            with cursor_lock:
+                hi = cursor["back"]
+                lo = max(hi - n, cursor["front"])
+                cursor["back"] = lo
+                return eligible[lo:hi]
+
+        def _assist_worker() -> None:
+            # small steal batches bound the end-of-run straggle to a few
+            # windows while amortizing the ctypes call overhead; the C++
+            # worker releases the GIL so it runs during device RPC waits
+            while True:
+                batch = _take_back(4)
+                if not batch:
+                    return
+                try:
+                    fb = _assist_rtlib.polish_windows(
+                        [windows[i] for i in batch], self.match,
+                        self.mismatch, self.gap, trim)
+                except Exception:  # pragma: no cover - native call failed
+                    return  # un-polished steals ride the final fallback
+                for i, r in zip(batch, fb):
+                    results[i] = r
+                self.stats["host_assist"] = (
+                    self.stats.get("host_assist", 0) + len(batch))
+
+        assist_thread = None
+        if assist_on:
+            assist_thread = threading.Thread(target=_assist_worker,
+                                             daemon=True)
+            assist_thread.start()
+
         # Pipeline: launch device work a few chunks ahead, collect behind —
         # the download + host consensus of chunk k overlaps the device
         # compute of chunks k+1.. (the reference overlaps CPU and GPU via
@@ -235,8 +302,10 @@ class BatchedPOAEngine:
         # dispatch provides the overlap)
         in_flight: List = []
         MAX_IN_FLIGHT = max(3, 2 * len(self.devices))
-        for chunk_start in range(0, len(eligible), self.batch_size):
-            chunk = eligible[chunk_start:chunk_start + self.batch_size]
+        while True:
+            chunk = _take_front(self.batch_size)
+            if not chunk:
+                break
             depth = max(len(windows[i].sequences) - 1 for i in chunk)
             packed = self._launch_chunk(chunk, windows,
                                         B=len(chunk), D=depth, L=L,
@@ -249,6 +318,8 @@ class BatchedPOAEngine:
                 self._collect_chunk(c, windows, results, trim, p)
         for c, p in in_flight:
             self._collect_chunk(c, windows, results, trim, p)
+        if assist_thread is not None:
+            assist_thread.join()
         if self.progress is not None:
             self.progress(len(windows), len(windows))
 
@@ -411,7 +482,8 @@ class BatchedPOAEngine:
             pass
 
         if self.progress is not None:
-            done = self.stats["device"] + self.stats["trivial"] + len(chunk)
+            done = (self.stats["device"] + self.stats["trivial"]
+                    + self.stats.get("host_assist", 0) + len(chunk))
             self.progress(min(done, self.stats["windows"]),
                           self.stats["windows"])
         for b, i in enumerate(chunk):

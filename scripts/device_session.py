@@ -209,6 +209,41 @@ def stage_w1000(cfgs=((1, 2), (1, -1), (2, -1))):
                   f"{ndiff} differing windows", flush=True)
 
 
+def stage_assist(K=2, cfgs=("0", "1")):
+    """A/B host-assist work stealing at the production K: device-only vs
+    device + native host worker stealing from the deep end of the queue
+    (batched.py RACON_TPU_HOST_ASSIST).  Bit-compare + steady-state w/s."""
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    p = _make_lambda_polisher()
+    windows = p.windows
+    print(f"[assist] {len(windows)} windows, K={K}", flush=True)
+    ref = None
+    for assist in cfgs:
+        os.environ["RACON_TPU_HOST_ASSIST"] = assist
+        try:
+            eng = BatchedPOAEngine(5, -4, -8, num_threads=4, interleave=K)
+            t0 = time.time()
+            res = eng.polish_windows(windows, p.trim)
+            warm = time.time() - t0
+            t0 = time.time()
+            res = eng.polish_windows(windows, p.trim)
+            dt = time.time() - t0
+        except Exception as e:
+            print(f"[assist] assist={assist}: ERROR "
+                  f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+            continue
+        finally:
+            os.environ["RACON_TPU_HOST_ASSIST"] = "0"
+        print(f"[assist] assist={assist}: warm={warm:.1f}s timed={dt:.2f}s "
+              f"{len(windows) / dt:.1f} w/s stats={eng.stats}", flush=True)
+        if ref is None:
+            ref = res
+        else:
+            ndiff = sum(1 for a, b in zip(ref, res) if a != b)
+            print(f"[assist] assist={assist} vs base consensus: "
+                  f"{ndiff} differing windows", flush=True)
+
+
 def stage_ed(wlen=500, expect=1273):
     """End-to-end verify surface: polish lambda on the TPU engine and
     edit-distance the contig against the truth (w=500 expect 1273 — the
@@ -236,6 +271,9 @@ def stage_ed(wlen=500, expect=1273):
 
 if __name__ == "__main__":
     stages = sys.argv[1:] or ["ab", "lambda"]
+    # keep the K/band A/B stages pure-device; the "assist" stage flips
+    # host assist on explicitly for its own A/B
+    os.environ.setdefault("RACON_TPU_HOST_ASSIST", "0")
     probe()
     if "ab" in stages:
         stage_ab()
@@ -269,6 +307,12 @@ if __name__ == "__main__":
     if "w1000" in stages:
         stage_w1000()
         probe(" post-w1000")
+    if "assist" in stages:
+        stage_assist()
+        probe(" post-assist")
+    if "assist4" in stages:
+        stage_assist(K=4)
+        probe(" post-assist4")
     if "ed" in stages:
         stage_ed()
         probe(" post-ed")

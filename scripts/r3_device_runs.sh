@@ -19,7 +19,7 @@ run() {
 # 1. validation stages: K=3 (B=33) and K=4 at full p_cap=12 (16-bit
 #    packed state rows) A/Bs, real-lambda configs incl. K=3/K=4 auto,
 #    w=1000 banding, e2e EDs (one process)
-TMO=7200 run session python scripts/device_session.py ab3 abk4 lambda w1000 ed edw1000
+TMO=10800 run session python scripts/device_session.py ab3 abk4 lambda w1000 assist ed edw1000
 
 # 2. the driver's benchmark (fresh process, warm compile cache)
 TMO=3600 run bench python bench.py

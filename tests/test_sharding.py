@@ -82,6 +82,58 @@ def test_engine_round_robin_over_devices():
         assert cons == rc and polished == rp
 
 
+def test_host_assist_work_stealing(monkeypatch):
+    """With host assist forced on, a native worker thread steals windows
+    from the deep end of the depth-sorted queue while the device loop
+    consumes the front; every window is polished exactly once and the
+    output stays bit-identical to the oracle."""
+    import random
+
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    from racon_tpu.poa.consensus import consensus_window
+    from tests.test_engine import make_window
+
+    monkeypatch.setenv("RACON_TPU_HOST_ASSIST", "force")
+    rng = random.Random(41)
+    windows = [make_window(rng, length=70, depth=3 + (j % 5))[0]
+               for j in range(20)]
+    eng = BatchedPOAEngine(3, -5, -4, batch_size=4, mode="xla")
+    got = eng.polish_windows(windows, trim=False)
+    s = eng.stats
+    assert s.get("host_assist", 0) > 0
+    assert (s.get("host_assist", 0) + s["device"] + s["trivial"]
+            + s["fallback"] == len(windows))
+    for w, (cons, polished) in zip(windows, got):
+        rc, rp = consensus_window(w, 3, -5, -4, trim=False)
+        assert cons == rc and polished == rp
+
+
+def test_host_assist_fused_interpret(monkeypatch):
+    """Host assist mixed with the production fused-kernel path (interpret
+    mode): results bit-identical to the oracle with both consumers live."""
+    import random
+
+    from racon_tpu.poa import fused_chunk as FC
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    from racon_tpu.poa.consensus import consensus_window
+    from tests.test_engine import make_window
+
+    monkeypatch.setattr(FC, "INTERPRET", True)
+    monkeypatch.setenv("RACON_TPU_HOST_ASSIST", "force")
+    rng = random.Random(43)
+    windows = [make_window(rng, length=60, depth=4, with_quality=True,
+                           partial=True)[0] for _ in range(8)]
+    eng = BatchedPOAEngine(3, -5, -4, batch_size=2, mode="fused",
+                           interleave=2)
+    got = eng.polish_windows(windows, trim=False)
+    s = eng.stats
+    assert (s.get("host_assist", 0) + s["device"] + s["trivial"]
+            + s["fallback"] == len(windows))
+    for w, (cons, polished) in zip(windows, got):
+        rc, rp = consensus_window(w, 3, -5, -4, trim=False)
+        assert cons == rc and polished == rp
+
+
 def test_fused_round_robin_over_devices(monkeypatch):
     """The PRODUCTION (fused chunk kernel) path round-robins over
     multiple virtual devices with K=2 interleave and stays bit-identical
