@@ -79,16 +79,31 @@ def main() -> int:
     wps = n_windows / dt
     polished_bases = sum(len(c) for c, ok in results if c)
 
-    # end-to-end time as a user sees it (cold align + warm consensus): the
-    # initialize phase (parse + align + window build) plus one consensus
-    # pass; reported per-base
-    e2e = t_init + dt
+    # end-to-end time as a user sees it: a full fresh pipeline run in
+    # streamed mode (the CLI default for device engines — the align phase
+    # overlaps device consensus of the completed window frontier), with
+    # the consensus programs already compiled.  The phased decomposition
+    # (init incl. align, then consensus) is reported beside it.
+    t0 = time.time()
+    p2 = create_polisher(
+        f"{DATA}/sample_reads.fastq.gz",
+        f"{DATA}/sample_overlaps.paf.gz",
+        f"{DATA}/sample_layout.fasta.gz",
+        PolisherType.kC, 500, 10.0, 0.3, True, 5, -4, -8,
+        num_threads=int(os.environ.get("RACON_TPU_BENCH_THREADS", "4")),
+        engine=engine, stream=True)
+    p2.initialize()
+    out = p2.polish(True)
+    e2e = time.time() - t0
+    assert out and out[0].data, "streamed pipeline produced no output"
+    e2e_phased = t_init + dt
     mbps = polished_bases / e2e / 1e6
 
     stats = getattr(eng, "stats", {})
     print(f"[bench] engine={engine} used={engine_used} "
           f"windows={n_windows} init={t_init:.2f}s "
           f"warm={warm:.2f}s timed={dt:.2f}s e2e={e2e:.2f}s "
+          f"(phased {e2e_phased:.2f}s) "
           f"({mbps:.3f} Mbases/s e2e) device={stats.get('device')} "
           f"fallback={stats.get('fallback')} trivial={stats.get('trivial')} "
           f"degraded={stats.get('degraded', 0)} "
@@ -104,6 +119,7 @@ def main() -> int:
         "unit": "windows/s",
         "vs_baseline": round(wps / CPU_BASELINE_WINDOWS_PER_SEC, 3),
         "e2e_sec": round(e2e, 2),
+        "e2e_phased_sec": round(e2e_phased, 2),
         "e2e_vs_baseline": round(CPU_BASELINE_E2E_SEC / e2e, 3),
         "k": stats.get("k", 0),
         "fallback": stats.get("fallback", 0),

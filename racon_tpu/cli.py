@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "automatically to 10%% of the mean overlap length "
                         "(reference: cudaaligner-band-width, "
                         "src/cuda/cudapolisher.cpp:150-163)")
+    p.add_argument("--no-stream", action="store_true",
+                   help="disable the streamed align->consensus overlap "
+                        "(device engines align the remaining overlaps on "
+                        "the host WHILE polishing already-completed "
+                        "windows; output is bit-identical either way)")
     p.add_argument("--version", action="version",
                    version=version_string)
     return p
@@ -96,7 +101,9 @@ def main(argv=None) -> int:
         args.window_length, args.quality_threshold, args.error_threshold,
         not args.no_trimming, args.match, args.mismatch, args.gap,
         args.threads, engine=args.engine, tpu_align=args.tpu_align,
-        band_width=args.band_width, batch_size=args.batch_size)
+        band_width=args.band_width, batch_size=args.batch_size,
+        stream=(not args.no_stream
+                and args.engine in ("auto", "tpu")))
     polisher.initialize()
     polished = polisher.polish(not args.include_unpolished)
 

@@ -42,7 +42,8 @@ def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
                     match: int = 3, mismatch: int = -5, gap: int = -4,
                     num_threads: int = 1, engine: str = "auto",
                     tpu_align: bool = False,
-                    band_width: int = 0, batch_size: int = 32) -> "Polisher":
+                    band_width: int = 0, batch_size: int = 32,
+                    stream: bool = False) -> "Polisher":
     """Factory with the reference's validation surface
     (reference: src/polisher.cpp:57-163)."""
     if not isinstance(type, PolisherType):
@@ -63,7 +64,7 @@ def create_polisher(sequences_path: str, overlaps_path: str, target_path: str,
     return Polisher(sequences_path, overlaps_path, target_path, type,
                     window_length, quality_threshold, error_threshold, trim,
                     match, mismatch, gap, num_threads, engine, tpu_align,
-                    band_width, batch_size)
+                    band_width, batch_size, stream)
 
 
 class Polisher:
@@ -72,7 +73,8 @@ class Polisher:
                  quality_threshold: float, error_threshold: float, trim: bool,
                  match: int, mismatch: int, gap: int, num_threads: int,
                  engine: str = "auto", tpu_align: bool = False,
-                 band_width: int = 0, batch_size: int = 32):
+                 band_width: int = 0, batch_size: int = 32,
+                 stream: bool = False):
         self.sequences_path = sequences_path
         self.overlaps_path = overlaps_path
         self.target_path = target_path
@@ -89,6 +91,9 @@ class Polisher:
         self.tpu_align = tpu_align
         self.band_width = band_width
         self.batch_size = batch_size
+        self.stream = stream
+        self._stream_overlaps: Optional[List[Overlap]] = None
+        self._id_to_first_window_id: List[int] = []
 
         self.sequences: List[Sequence] = []
         self.windows: List[Window] = []
@@ -234,9 +239,42 @@ class Polisher:
         for i, s in enumerate(self.sequences):
             s.transmute(has_name[i], has_data[i], has_reverse_data[i])
 
+        if self._streaming_enabled():
+            # streamed mode: breaking-point alignment and layer assignment
+            # move into polish(), where they overlap device consensus of
+            # the completed window frontier — windows (backbones) are
+            # built now so len(self.windows) is meaningful to callers
+            self._build_windows(window_type)
+            self._stream_overlaps = overlaps
+            self.logger.log("[racon_tpu::Polisher.initialize] prepared "
+                            "windows (align streams into polish)")
+            return
+
         self._find_overlap_breaking_points(overlaps)
         self.logger.log("[racon_tpu::Polisher.initialize] aligned overlaps")
 
+        self._build_windows(window_type)
+
+        # layer assignment (reference: src/polisher.cpp:407-461)
+        for o in overlaps:
+            self._assign_overlap(o)
+
+        self.logger.log("[racon_tpu::Polisher.initialize] "
+                        "transformed data into windows")
+
+    def _streaming_enabled(self) -> bool:
+        """Streamed align->consensus overlap: on when requested (ctor flag
+        or RACON_TPU_STREAM=1) and running single-host — multi-host shards
+        windows globally, which needs the full phased window set up
+        front.  The CLI requests it for device-backed engines."""
+        import os
+        env = os.environ.get("RACON_TPU_STREAM", "")
+        if env == "0" or (not self.stream and env != "1"):
+            return False
+        from racon_tpu.parallel import mesh as M
+        return M.process_shard()[1] == 1
+
+    def _build_windows(self, window_type: WindowType) -> None:
         # windows (reference: src/polisher.cpp:388-403)
         id_to_first_window_id = [0] * (self.targets_size + 1)
         for i in range(self.targets_size):
@@ -251,47 +289,50 @@ class Polisher:
                                            data[j:j + length], q))
                 k += 1
             id_to_first_window_id[i + 1] = id_to_first_window_id[i] + k
-
+        self._id_to_first_window_id = id_to_first_window_id
         self.targets_coverages = [0] * self.targets_size
 
-        # layer assignment (reference: src/polisher.cpp:407-461)
+    def _assign_overlap(self, o: Overlap) -> None:
+        """Count coverage and add every breaking-point pair of one overlap
+        as window layers (reference: src/polisher.cpp:407-461)."""
+        self.targets_coverages[o.t_id] += 1
+        for j in range(0, len(o.breaking_points), 2):
+            self._assign_layer_pair(o, j)
+
+    def _assign_layer_pair(self, o: Overlap, j: int) -> None:
+        """Add breaking-point pair j of overlap o as a window layer,
+        applying the 2%-span and mean-quality filters
+        (reference: src/polisher.cpp:412-461)."""
         w = self.window_length
-        for o in overlaps:
-            self.targets_coverages[o.t_id] += 1
-            sequence = self.sequences[o.q_id]
-            bps = o.breaking_points
-            for j in range(0, len(bps), 2):
-                if bps[j + 1][1] - bps[j][1] < 0.02 * w:
-                    continue
-                if sequence.quality or sequence.reverse_quality:
-                    quality = (sequence.reverse_quality if o.strand
-                               else sequence.quality)
-                    # vectorized mean-phred filter (no per-base Python
-                    # loop; same integer arithmetic as the reference,
-                    # src/polisher.cpp:424-437)
-                    import numpy as _np
-                    span = bps[j + 1][1] - bps[j][1]
-                    qsum = int(_np.frombuffer(
-                        quality, _np.uint8
-                    )[bps[j][1]:bps[j + 1][1]].sum(dtype=_np.int64)) \
-                        - 33 * span
-                    if qsum / span < self.quality_threshold:
-                        continue
+        bps = o.breaking_points
+        if bps[j + 1][1] - bps[j][1] < 0.02 * w:
+            return
+        sequence = self.sequences[o.q_id]
+        if sequence.quality or sequence.reverse_quality:
+            quality = (sequence.reverse_quality if o.strand
+                       else sequence.quality)
+            # vectorized mean-phred filter (no per-base Python loop; same
+            # integer arithmetic as the reference, src/polisher.cpp:424-437)
+            import numpy as _np
+            span = bps[j + 1][1] - bps[j][1]
+            qsum = int(_np.frombuffer(
+                quality, _np.uint8
+            )[bps[j][1]:bps[j + 1][1]].sum(dtype=_np.int64)) \
+                - 33 * span
+            if qsum / span < self.quality_threshold:
+                return
 
-                window_id = (id_to_first_window_id[o.t_id] + bps[j][0] // w)
-                window_start = (bps[j][0] // w) * w
-                data = (sequence.reverse_complement if o.strand
-                        else sequence.data)[bps[j][1]:bps[j + 1][1]]
-                qual_src = (sequence.reverse_quality if o.strand
-                            else sequence.quality)
-                qual = qual_src[bps[j][1]:bps[j + 1][1]] if qual_src else None
-                self.windows[window_id].add_layer(
-                    data, qual,
-                    bps[j][0] - window_start,
-                    bps[j + 1][0] - window_start - 1)
-
-        self.logger.log("[racon_tpu::Polisher.initialize] "
-                        "transformed data into windows")
+        window_id = (self._id_to_first_window_id[o.t_id] + bps[j][0] // w)
+        window_start = (bps[j][0] // w) * w
+        data = (sequence.reverse_complement if o.strand
+                else sequence.data)[bps[j][1]:bps[j + 1][1]]
+        qual_src = (sequence.reverse_quality if o.strand
+                    else sequence.quality)
+        qual = qual_src[bps[j][1]:bps[j + 1][1]] if qual_src else None
+        self.windows[window_id].add_layer(
+            data, qual,
+            bps[j][0] - window_start,
+            bps[j + 1][0] - window_start - 1)
 
     def _find_overlap_breaking_points(self, overlaps: List[Overlap]) -> None:
         import os
@@ -399,7 +440,10 @@ class Polisher:
             engine.progress = on_progress
         meter = Meter("polish")
         with device_trace():
-            results = self._polish_windows_sharded(engine)
+            if self._stream_overlaps is not None:
+                results = self._polish_streamed(engine)
+            else:
+                results = self._polish_windows_sharded(engine)
         meter.add(len(results), sum(len(c) for c, _ in results))
         meter.report()
         stats = getattr(engine, "stats", None)
@@ -439,6 +483,151 @@ class Polisher:
         self.windows = []
         self.sequences = []
         return dst
+
+    def _polish_streamed(self, engine):
+        """Streamed align->consensus overlap (single host).
+
+        A producer thread computes breaking points in (t_id, t_begin)
+        order — the alignment itself is native C++ and releases the GIL —
+        while this thread polishes the completed window frontier: window
+        ``r`` of target ``t`` can gain no further layers once every
+        remaining unaligned overlap of ``t`` starts past its end, so
+        completed windows stream to the engine while later overlaps are
+        still aligning.  The reference runs these as strictly sequential
+        phases (src/polisher.cpp:384, :490); overlapping them hides most
+        of the align phase behind device consensus.
+
+        Bit-identity is preserved by construction: each window's layer
+        contributions are buffered as (overlap_index, pair_index) and
+        applied in sorted order at completion, which replays the phased
+        path's exact add order (the replicated unstable layer sort is
+        input-order-sensitive)."""
+        import queue as _queue
+
+        # per-segment engine calls would each report their own total;
+        # this path drives the progress bar itself
+        if hasattr(engine, "progress"):
+            engine.progress = None
+        overlaps = self._stream_overlaps
+        self._stream_overlaps = None
+        w = self.window_length
+        first_win = self._id_to_first_window_id
+        n_win = len(self.windows)
+        # per-window buffered contributions: (overlap idx, pair idx)
+        pending: List[List[Tuple[int, int]]] = [[] for _ in range(n_win)]
+        ready: "_queue.Queue[int]" = _queue.Queue()
+        order = sorted(range(len(overlaps)),
+                       key=lambda k: (overlaps[k].t_id, overlaps[k].t_begin))
+        ALIGN_BATCH = 512
+        err: List[BaseException] = []
+
+        def _upto(o: Overlap) -> int:
+            # first global window id this overlap can still touch: windows
+            # of earlier targets are covered by first_win; within the
+            # target, breaking points satisfy t >= o.t_begin, so windows
+            # with rank < t_begin // w are out of reach
+            return min(first_win[o.t_id] + o.t_begin // w,
+                       first_win[o.t_id + 1])
+
+        def _producer() -> None:
+            try:
+                from racon_tpu.align.aligner import get_aligner
+                aligner = get_aligner(self.num_threads)
+                done_upto = 0
+                for s in range(0, len(order), ALIGN_BATCH):
+                    batch = order[s:s + ALIGN_BATCH]
+                    need = [k for k in batch if not overlaps[k].cigar]
+                    if need and hasattr(aligner, "align_batch"):
+                        pairs = []
+                        for k in need:
+                            o = overlaps[k]
+                            seq = self.sequences[o.q_id]
+                            if not o.strand:
+                                q = seq.data[o.q_begin:o.q_end]
+                            else:
+                                q = seq.reverse_complement[
+                                    o.q_length - o.q_end:
+                                    o.q_length - o.q_begin]
+                            t = self.sequences[o.t_id].data[
+                                o.t_begin:o.t_end]
+                            pairs.append((q, t))
+                        for k, c in zip(need, aligner.align_batch(pairs)):
+                            overlaps[k].cigar = c
+                    for k in batch:
+                        o = overlaps[k]
+                        o.find_breaking_points(self.sequences, w,
+                                               aligner=aligner)
+                        self.targets_coverages[o.t_id] += 1
+                        bps = o.breaking_points
+                        for j in range(0, len(bps), 2):
+                            wid = first_win[o.t_id] + bps[j][0] // w
+                            pending[wid].append((k, j))
+                    nxt = s + ALIGN_BATCH
+                    new_upto = (n_win if nxt >= len(order)
+                                else _upto(overlaps[order[nxt]]))
+                    for wid in range(done_upto, new_upto):
+                        ready.put(wid)
+                    done_upto = new_upto
+                for wid in range(done_upto, n_win):
+                    ready.put(wid)
+            except BaseException as e:  # pragma: no cover - surfaced below
+                err.append(e)
+            finally:
+                ready.put(-1)
+
+        producer = threading.Thread(target=_producer, daemon=True,
+                                    name="racon-stream-align")
+        producer.start()
+
+        results: List = [None] * n_win
+        # segments big enough that the engine's depth sort still forms
+        # near-homogeneous chunks, small enough to start the device early
+        segment_size = max(4 * getattr(engine, "batch_size", 32), 64)
+        seg: List[int] = []
+        done_ct = 0
+        bar_i = 0
+
+        def _consume(wid: int) -> None:
+            for k, j in sorted(pending[wid]):
+                self._assign_layer_pair(overlaps[k], j)
+            pending[wid] = []
+            seg.append(wid)
+
+        def _flush() -> None:
+            nonlocal done_ct, bar_i
+            rs = engine.polish_windows([self.windows[i] for i in seg],
+                                       self.trim)
+            for i, r in zip(seg, rs):
+                results[i] = r
+            done_ct += len(seg)
+            seg.clear()
+            while done_ct * 20 > (bar_i + 1) * n_win:
+                bar_i += 1
+                self.logger.bar("[racon_tpu::Polisher.polish] "
+                                "aligning + generating consensus")
+
+        live = True
+        while live:
+            wid = ready.get()
+            if wid < 0:
+                live = False
+            else:
+                _consume(wid)
+            while live:  # drain without blocking
+                try:
+                    wid = ready.get_nowait()
+                except _queue.Empty:
+                    break
+                if wid < 0:
+                    live = False
+                else:
+                    _consume(wid)
+            if seg and (len(seg) >= segment_size or not live):
+                _flush()
+        producer.join()
+        if err:
+            raise err[0]
+        return results
 
     def _polish_windows_sharded(self, engine):
         """Polish this host's window shard and all-gather the rest.

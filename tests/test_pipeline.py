@@ -265,3 +265,74 @@ class TestDevicePrewarm:
         for engine in ("native", "oracle"):
             spawned, _ = self._spawned(monkeypatch, synth, engine)
             assert spawned == []
+
+
+# --------------------------------------------------------------------- #
+# streamed align->consensus overlap (pipeline._polish_streamed)
+# --------------------------------------------------------------------- #
+
+LAMBDA = "/root/reference/test/data"
+
+
+def _run_lambda(overlaps_file, stream):
+    p = create_polisher(f"{LAMBDA}/sample_reads.fastq.gz",
+                        f"{LAMBDA}/{overlaps_file}",
+                        f"{LAMBDA}/sample_layout.fasta.gz",
+                        PolisherType.kC, 500, 10.0, 0.3, True, 5, -4, -8,
+                        num_threads=2, engine="native", stream=stream)
+    p.initialize()
+    cov = None if stream else list(p.targets_coverages)
+    dst = p.polish(True)
+    return dst, cov, p
+
+
+def test_streamed_matches_phased_lambda_paf():
+    """Streamed mode must reproduce the phased pipeline byte-for-byte on
+    real data through the host aligner (the producer thread aligns while
+    the consumer polishes the completed frontier)."""
+    phased, cov, _ = _run_lambda("sample_overlaps.paf.gz", stream=False)
+    streamed, _, sp = _run_lambda("sample_overlaps.paf.gz", stream=True)
+    assert len(phased) == len(streamed) == 1
+    assert phased[0].name == streamed[0].name     # LN/RC/XC tags included
+    assert phased[0].data == streamed[0].data
+
+
+def test_streamed_matches_phased_lambda_sam():
+    """Same equivalence with minimap2-supplied CIGARs (no aligner in the
+    producer — pure breaking-point walk + frontier bookkeeping)."""
+    phased, _, _ = _run_lambda("sample_overlaps.sam.gz", stream=False)
+    streamed, _, _ = _run_lambda("sample_overlaps.sam.gz", stream=True)
+    assert phased[0].name == streamed[0].name
+    assert phased[0].data == streamed[0].data
+
+
+def test_streamed_matches_phased_kf_multi_target(tmp_path):
+    """Fragment-correction mode drives the frontier across many targets;
+    streamed output (all records, all tags) must match phased exactly."""
+    rng = random.Random(3)
+    true = "".join(rng.choice("ACGT") for _ in range(300))
+    reads = [noisy(true, 0.1, rng) for _ in range(6)]
+    rpath = str(tmp_path / "reads.fasta")
+    write_fasta(rpath, [(str(i + 1), r) for i, r in enumerate(reads)])
+    rows = []
+    for i in range(len(reads)):
+        for j in range(len(reads)):
+            if i == j:
+                continue
+            rows.append((i + 1, len(reads[i]), 0, len(reads[i]), "+",
+                         j + 1, len(reads[j]), 0, len(reads[j]),
+                         min(len(reads[i]), len(reads[j])),
+                         max(len(reads[i]), len(reads[j])), 60))
+    opath = str(tmp_path / "ava.paf")
+    write_paf(opath, rows)
+
+    outs = []
+    for stream in (False, True):
+        p = create_polisher(rpath, opath, rpath, PolisherType.kF,
+                            500, 10.0, 0.3, True, 1, -1, -1, 1,
+                            engine="native", stream=stream)
+        p.initialize()
+        outs.append(p.polish(False))
+    phased, streamed = outs
+    assert [(d.name, d.data) for d in phased] == \
+        [(d.name, d.data) for d in streamed]
