@@ -87,6 +87,10 @@ def main():
     ap.add_argument("--engine", default="tpu")
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--tpu-align", action="store_true")
+    ap.add_argument("--stream", action="store_true",
+                    help="streamed align->consensus overlap (the CLI "
+                         "default for device engines); polish_sec then "
+                         "covers both phases and windows/s is e2e-based")
     ap.add_argument("--out", default="",
                     help="also write the JSON record to this file "
                          "(checked-in BENCH_scale_rN.json artifacts)")
@@ -127,7 +131,7 @@ def main():
         p = create_polisher(rpath, opath, tpath, PolisherType.kC,
                             500, 10.0, 0.3, True, 3, -5, -4,
                             num_threads=args.threads, engine=args.engine,
-                            tpu_align=args.tpu_align)
+                            tpu_align=args.tpu_align, stream=args.stream)
         p.initialize()
         t_init = time.time() - t0
         n_windows = len(p.windows)
@@ -158,7 +162,8 @@ def main():
               f"err={args.error} engine={args.engine} "
               f"tpu_align={args.tpu_align}", file=sys.stderr)
         print(f"[scale] initialize {t_init:.1f}s, polish {t_polish:.1f}s "
-              f"({n_windows} windows, {n_windows/t_polish:.1f} w/s), "
+              f"(e2e {t_init + t_polish:.1f}s, stream={args.stream}; "
+              f"{n_windows} windows, {n_windows/t_polish:.1f} w/s), "
               f"ED vs truth {ed} ({ed/genome_bp*100:.3f}%) stats={stats}",
               file=sys.stderr)
         import json
@@ -172,6 +177,8 @@ def main():
             "threads": args.threads,
             "init_sec": round(t_init, 1),
             "polish_sec": round(t_polish, 1),
+            "e2e_sec": round(t_init + t_polish, 1),
+            "stream": args.stream,
             "windows": n_windows,
             "ed_pct": round(ed / genome_bp * 100, 4),
             "fresh_compiles": n_cached1 - n_cached0,

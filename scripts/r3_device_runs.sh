@@ -34,4 +34,10 @@ TMO=7200 run scale_tpualign python scripts/bench_scale.py --genome-mb 4.6 \
   --coverage 30 --engine tpu --threads 4 --tpu-align --workdir /root/scale_ws \
   --out BENCH_scale_r03_tpualign.json
 
+# 5. streamed + host-assist production config at scale (align overlapped
+#    with device consensus, CPU co-polishing): the headline e2e config
+TMO=7200 run scale_stream python scripts/bench_scale.py --genome-mb 4.6 \
+  --coverage 30 --engine tpu --threads 4 --stream --workdir /root/scale_ws \
+  --out BENCH_scale_r03_stream.json
+
 echo "ALL DONE ($(date +%H:%M:%S))"
