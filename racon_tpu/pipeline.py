@@ -127,8 +127,9 @@ class Polisher:
             except Exception:
                 pass
 
-        threading.Thread(target=_attach, daemon=True,
-                         name="racon-tpu-prewarm").start()
+        self._prewarm_thread = threading.Thread(
+            target=_attach, daemon=True, name="racon-tpu-prewarm")
+        self._prewarm_thread.start()
 
     def initialize(self) -> None:
         if self.windows:
@@ -391,6 +392,15 @@ class Polisher:
     # ------------------------------------------------------------------ #
 
     def _make_engine(self):
+        # the prewarm thread overlaps backend attach with ingest/align,
+        # but it must never race engine construction/compiles on another
+        # thread (concurrent backend init + compile in one process is the
+        # kind of jax-internal race that crashes natively) — join it here;
+        # on a real TPU this costs nothing polish() wouldn't pay anyway
+        t = getattr(self, "_prewarm_thread", None)
+        if t is not None:
+            t.join()
+            self._prewarm_thread = None
         name = self.engine_name
         if name == "auto":
             try:

@@ -171,6 +171,13 @@ class BatchedPOAEngine:
         L0 = max_backbone
         N = _round_up(max(int(self.node_factor * max_backbone),
                           max_backbone + 256), 256)
+        # shape high-water mark: streamed mode calls polish_windows per
+        # window segment, and letting (L, N) float with each segment's max
+        # would compile a fresh (minutes-long) program per distinct shape —
+        # grow-only shapes keep later segments on the already-built program
+        L = self._L_hwm = max(L, getattr(self, "_L_hwm", 0))
+        N = self._N_hwm = max(N, getattr(self, "_N_hwm", 0))
+        L0 = self._L0_hwm = max(L0, getattr(self, "_L0_hwm", 0))
         t_cap = N + L
 
         # node capacity on the fused path is bounded only by on-chip

@@ -4,6 +4,9 @@ sharding tests run anywhere (and tests never grab the real TPU)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache for the CPU test programs (separate from the
+# TPU cache): reruns skip hundreds of XLA CPU compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,6 +25,16 @@ import pytest
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running golden tests")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_programs_between_modules():
+    yield
+    import gc
+
+    import jax as _jax
+    _jax.clear_caches()
+    gc.collect()
 
 
 def pytest_collection_modifyitems(config, items):

@@ -336,3 +336,25 @@ def test_streamed_matches_phased_kf_multi_target(tmp_path):
     phased, streamed = outs
     assert [(d.name, d.data) for d in phased] == \
         [(d.name, d.data) for d in streamed]
+
+
+def test_streamed_with_host_assist(synth, monkeypatch):
+    """Streaming producer + host-assist worker + engine segments all at
+    once (the production composition) must still match the phased oracle
+    output exactly."""
+    monkeypatch.setenv("RACON_TPU_HOST_ASSIST", "force")
+    p = create_polisher(synth["rpath"], synth["opath"], synth["tpath"],
+                        PolisherType.kC, 100, 10.0, 0.3, True, 3, -5, -4,
+                        num_threads=2, engine="tpu", stream=True)
+    p.initialize()
+    assert p._stream_overlaps is not None
+    streamed = p.polish(True)
+
+    monkeypatch.setenv("RACON_TPU_HOST_ASSIST", "0")
+    q = create_polisher(synth["rpath"], synth["opath"], synth["tpath"],
+                        PolisherType.kC, 100, 10.0, 0.3, True, 3, -5, -4,
+                        num_threads=2, engine="oracle")
+    q.initialize()
+    phased = q.polish(True)
+    assert [(d.name, d.data) for d in streamed] == \
+        [(d.name, d.data) for d in phased]
