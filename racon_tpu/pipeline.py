@@ -267,10 +267,15 @@ class Polisher:
         """Streamed align->consensus overlap: on when requested (ctor flag
         or RACON_TPU_STREAM=1) and running single-host — multi-host shards
         windows globally, which needs the full phased window set up
-        front.  The CLI requests it for device-backed engines."""
+        front.  The CLI requests it for device-backed engines.  Device
+        alignment (--tpu-align) is a phased-only feature: its batched
+        kernel wants the whole overlap set at once, so it wins over
+        streaming rather than being silently skipped."""
         import os
         env = os.environ.get("RACON_TPU_STREAM", "")
         if env == "0" or (not self.stream and env != "1"):
+            return False
+        if self.tpu_align or os.environ.get("RACON_TPU_ALIGN") == "1":
             return False
         from racon_tpu.parallel import mesh as M
         return M.process_shard()[1] == 1
@@ -335,24 +340,31 @@ class Polisher:
             bps[j][0] - window_start,
             bps[j + 1][0] - window_start - 1)
 
+    def _cigarless_pairs(self, overlaps: List[Overlap]):
+        """Overlaps lacking a CIGAR and their strand-aware (query, target)
+        byte slices for the batched aligner (reference: the per-overlap
+        slicing in src/overlap.cpp:192-224)."""
+        need = [o for o in overlaps if not o.cigar]
+        pairs = []
+        for o in need:
+            seq = self.sequences[o.q_id]
+            if not o.strand:
+                q = seq.data[o.q_begin:o.q_end]
+            else:
+                q = seq.reverse_complement[
+                    o.q_length - o.q_end:o.q_length - o.q_begin]
+            t = self.sequences[o.t_id].data[o.t_begin:o.t_end]
+            pairs.append((q, t))
+        return need, pairs
+
     def _find_overlap_breaking_points(self, overlaps: List[Overlap]) -> None:
         import os
 
         from racon_tpu.align.aligner import get_aligner
         aligner = get_aligner(self.num_threads)
         # batch the CIGAR-less overlaps through the aligner
-        need = [o for o in overlaps if not o.cigar]
+        need, pairs = self._cigarless_pairs(overlaps)
         if need and hasattr(aligner, "align_batch"):
-            pairs = []
-            for o in need:
-                seq = self.sequences[o.q_id]
-                if not o.strand:
-                    q = seq.data[o.q_begin:o.q_end]
-                else:
-                    q = seq.reverse_complement[
-                        o.q_length - o.q_end:o.q_length - o.q_begin]
-                t = self.sequences[o.t_id].data[o.t_begin:o.t_end]
-                pairs.append((q, t))
             cigars = [None] * len(pairs)
             if self.tpu_align or os.environ.get("RACON_TPU_ALIGN") == "1":
                 # opt-in device alignment (SURVEY.md §7 step 6; like the
@@ -437,6 +449,11 @@ class Polisher:
     def polish(self, drop_unpolished_sequences: bool = True) -> List[Sequence]:
         from racon_tpu.obs.profiler import Meter, device_trace
 
+        if getattr(self, "_poisoned", False):
+            raise RuntimeError(
+                "[racon_tpu::Polisher.polish] error: a previous streamed "
+                "polish failed mid-run (window layers are partially "
+                "assigned); recreate the polisher to retry")
         engine = self._make_engine()
         if hasattr(engine, "progress"):
             bar_state = [0]
@@ -546,23 +563,11 @@ class Polisher:
                 done_upto = 0
                 for s in range(0, len(order), ALIGN_BATCH):
                     batch = order[s:s + ALIGN_BATCH]
-                    need = [k for k in batch if not overlaps[k].cigar]
+                    need, pairs = self._cigarless_pairs(
+                        [overlaps[k] for k in batch])
                     if need and hasattr(aligner, "align_batch"):
-                        pairs = []
-                        for k in need:
-                            o = overlaps[k]
-                            seq = self.sequences[o.q_id]
-                            if not o.strand:
-                                q = seq.data[o.q_begin:o.q_end]
-                            else:
-                                q = seq.reverse_complement[
-                                    o.q_length - o.q_end:
-                                    o.q_length - o.q_begin]
-                            t = self.sequences[o.t_id].data[
-                                o.t_begin:o.t_end]
-                            pairs.append((q, t))
-                        for k, c in zip(need, aligner.align_batch(pairs)):
-                            overlaps[k].cigar = c
+                        for o, c in zip(need, aligner.align_batch(pairs)):
+                            o.cigar = c
                     for k in batch:
                         o = overlaps[k]
                         o.find_breaking_points(self.sequences, w,
@@ -588,6 +593,18 @@ class Polisher:
         producer = threading.Thread(target=_producer, daemon=True,
                                     name="racon-stream-align")
         producer.start()
+        try:
+            return self._stream_consume(engine, overlaps, pending, ready,
+                                        producer, err, n_win)
+        except BaseException:
+            # layer assignment is partially applied: a retried polish()
+            # must not silently run the phased path on half-built windows
+            self._poisoned = True
+            raise
+
+    def _stream_consume(self, engine, overlaps, pending, ready, producer,
+                        err, n_win: int):
+        import queue as _queue
 
         results: List = [None] * n_win
         # segments big enough that the engine's depth sort still forms

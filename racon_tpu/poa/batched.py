@@ -239,13 +239,17 @@ class BatchedPOAEngine:
 
         # Host-assist work stealing: while the device crunches a resident
         # chunk the host core is idle (one blocking RPC per chunk), so a
-        # native C++ worker polishes windows from the deep end of the same
-        # depth-sorted queue — bit-identical output, so mixing engines is
-        # free.  This inverts the reference's heterogeneous fallback
-        # (src/cuda/cudapolisher.cpp:354-378): the CPU is a proactive
-        # co-worker, not just a safety net.  Both consumers steal through
-        # one cursor pair until they meet, which auto-balances regardless
-        # of the per-window cost model.
+        # native C++ worker polishes windows from the SHALLOW end of the
+        # same depth-sorted queue while the device consumes deepest-first
+        # — bit-identical output, so mixing engines is free.  Giving the
+        # host the cheap windows bounds the end-of-run straggle (the final
+        # steal batch is the cheapest work in the queue); the device
+        # starts on the deepest chunks, so the slowest device work gets
+        # the longest assist overlap.  This inverts the reference's
+        # heterogeneous fallback (src/cuda/cudapolisher.cpp:354-378): the
+        # CPU is a proactive co-worker, not just a safety net.  Both
+        # consumers steal through one cursor pair until they meet, which
+        # auto-balances regardless of the per-window cost model.
         _assist_env = os.environ.get("RACON_TPU_HOST_ASSIST", "1")
         if _assist_env == "force":
             assist_on = bool(eligible)
@@ -279,10 +283,11 @@ class BatchedPOAEngine:
 
         def _assist_worker() -> None:
             # small steal batches bound the end-of-run straggle to a few
-            # windows while amortizing the ctypes call overhead; the C++
-            # worker releases the GIL so it runs during device RPC waits
+            # (shallow = cheap) windows while amortizing the ctypes call
+            # overhead; the C++ worker releases the GIL so it runs during
+            # device RPC waits
             while True:
-                batch = _take_back(4)
+                batch = _take_front(4)
                 if not batch:
                     return
                 try:
@@ -310,7 +315,7 @@ class BatchedPOAEngine:
         in_flight: List = []
         MAX_IN_FLIGHT = max(3, 2 * len(self.devices))
         while True:
-            chunk = _take_front(self.batch_size)
+            chunk = _take_back(self.batch_size)
             if not chunk:
                 break
             depth = max(len(windows[i].sequences) - 1 for i in chunk)

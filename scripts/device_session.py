@@ -271,9 +271,10 @@ def stage_ed(wlen=500, expect=1273):
 
 if __name__ == "__main__":
     stages = sys.argv[1:] or ["ab", "lambda"]
-    # keep the K/band A/B stages pure-device; the "assist" stage flips
-    # host assist on explicitly for its own A/B
-    os.environ.setdefault("RACON_TPU_HOST_ASSIST", "0")
+    # keep the K/band A/B stages pure-device (unconditionally — an
+    # inherited =1 must not leak into the timings); the "assist" stage
+    # flips host assist on explicitly for its own A/B
+    os.environ["RACON_TPU_HOST_ASSIST"] = "0"
     probe()
     if "ab" in stages:
         stage_ab()

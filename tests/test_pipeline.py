@@ -358,3 +358,42 @@ def test_streamed_with_host_assist(synth, monkeypatch):
     phased = q.polish(True)
     assert [(d.name, d.data) for d in streamed] == \
         [(d.name, d.data) for d in phased]
+
+
+def test_tpu_align_wins_over_streaming(synth):
+    """--tpu-align is a phased-only feature: requesting it must disable
+    the streamed path rather than being silently skipped by it."""
+    p = create_polisher(synth["rpath"], synth["opath"], synth["tpath"],
+                        PolisherType.kC, 100, 10.0, 0.3, True, 3, -5, -4,
+                        engine="native", stream=True, tpu_align=True)
+    assert not p._streaming_enabled()
+    p.initialize()
+    assert p._stream_overlaps is None          # phased path taken
+    assert sum(len(w.sequences) - 1 for w in p.windows) > 0
+
+
+def test_streamed_failure_poisons_retry(synth, monkeypatch):
+    """If the engine dies mid-stream, window layers are partially
+    assigned; a blind polish() retry must fail loudly instead of running
+    the phased path on half-built windows."""
+    p = create_polisher(synth["rpath"], synth["opath"], synth["tpath"],
+                        PolisherType.kC, 100, 10.0, 0.3, True, 3, -5, -4,
+                        engine="oracle", stream=True)
+    monkeypatch.setenv("RACON_TPU_STREAM", "1")
+    p.initialize()
+    assert p._stream_overlaps is not None
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding_engine():
+        class E:
+            def polish_windows(self, windows, trim):
+                raise Boom("device died")
+        return E()
+
+    monkeypatch.setattr(p, "_make_engine", exploding_engine)
+    with pytest.raises(Boom):
+        p.polish(True)
+    with pytest.raises(RuntimeError, match="recreate the polisher"):
+        p.polish(True)
