@@ -244,29 +244,39 @@ def stage_assist(K=2, cfgs=("0", "1")):
                   f"{ndiff} differing windows", flush=True)
 
 
-def stage_ed(wlen=500, expect=1273):
+def stage_ed(wlen=500, expect=1273, stream=False, assist=False):
     """End-to-end verify surface: polish lambda on the TPU engine and
     edit-distance the contig against the truth (w=500 expect 1273 — the
     pre-unstable-sort value was 1329, reference CPU golden 1312; w=1000
-    expect 1289 = exact reference golden)."""
+    expect 1289 = exact reference golden).  stream=True runs the
+    streamed align->consensus overlap (the CLI default); assist=True
+    enables host-assist work stealing."""
     from racon_tpu.pipeline import PolisherType, create_polisher
     from racon_tpu.io.parsers import parse_sequences
     from racon_tpu.native import rtlib
     D = "/root/reference/test/data"
-    p = create_polisher(f"{D}/sample_reads.fastq.gz",
-                        f"{D}/sample_overlaps.paf.gz",
-                        f"{D}/sample_layout.fasta.gz", PolisherType.kC,
-                        wlen, 10.0, 0.3, True, 5, -4, -8, num_threads=4,
-                        engine="tpu")
-    p.initialize()
-    t0 = time.time()
-    res = p.polish()
-    truth = parse_sequences(f"{D}/sample_reference.fasta.gz")[0]
-    s = res[0]
-    s.create_reverse_complement()
-    ed = rtlib.edit_distance(s.reverse_complement, truth.data)
-    print(f"[ed] lambda w={wlen} e2e TPU ED vs truth: {ed} "
-          f"(polish {time.time() - t0:.1f}s, expect {expect})", flush=True)
+    os.environ["RACON_TPU_HOST_ASSIST"] = "1" if assist else "0"
+    tag = f"stream={int(stream)} assist={int(assist)}"
+    try:
+        t_all = time.time()
+        p = create_polisher(f"{D}/sample_reads.fastq.gz",
+                            f"{D}/sample_overlaps.paf.gz",
+                            f"{D}/sample_layout.fasta.gz", PolisherType.kC,
+                            wlen, 10.0, 0.3, True, 5, -4, -8, num_threads=4,
+                            engine="tpu", stream=stream)
+        p.initialize()
+        t0 = time.time()
+        res = p.polish()
+        truth = parse_sequences(f"{D}/sample_reference.fasta.gz")[0]
+        s = res[0]
+        s.create_reverse_complement()
+        ed = rtlib.edit_distance(s.reverse_complement, truth.data)
+        print(f"[ed] lambda w={wlen} {tag} e2e TPU ED vs truth: {ed} "
+              f"(polish {time.time() - t0:.1f}s, "
+              f"e2e {time.time() - t_all:.1f}s, expect {expect})",
+              flush=True)
+    finally:
+        os.environ["RACON_TPU_HOST_ASSIST"] = "0"
 
 
 if __name__ == "__main__":
@@ -317,6 +327,10 @@ if __name__ == "__main__":
     if "ed" in stages:
         stage_ed()
         probe(" post-ed")
+    if "edstream" in stages:
+        # the production CLI config: streamed + host assist
+        stage_ed(stream=True, assist=True)
+        probe(" post-edstream")
     if "edw1000" in stages:
         stage_ed(wlen=1000, expect=1289)
         probe(" post-edw1000")

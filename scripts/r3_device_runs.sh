@@ -21,7 +21,7 @@ run() {
 
 # 1. production-config validation: real-lambda K configs (compiles the
 #    w500 shapes bench needs), host-assist A/B, e2e ED check
-TMO=10800 run session1 python scripts/device_session.py lambda assist ed
+TMO=10800 run session1 python scripts/device_session.py lambda assist ed edstream
 
 # 2. the driver's benchmark (fresh process, warm compile cache):
 #    K=2 + host assist + streamed e2e
