@@ -79,11 +79,12 @@ class BatchedPOAEngine:
         self.batch_size = batch_size
         self.p_cap = p_cap
         if interleave is None:
-            interleave = int(os.environ.get("RACON_TPU_K", "2"))
+            interleave = int(os.environ.get("RACON_TPU_K", "3"))
         # K window streams per grid step share one stacked vector chain in
-        # the DP (fused_chunk.py dp_tail).  Default 2: measured 1.44x per
-        # layer-step on real TPU (lambda scale), consensus bit-identical
-        # to K=1.  Per-batch the scheduler clamps K to the SMEM budget
+        # the DP (fused_chunk.py dp_tail).  Default 3: measured 2.3x over
+        # K=1 per layer-step on real TPU (lambda 2026-08-18; K=2 was
+        # 1.44x), consensus bit-identical to K=1, fallback=0 with the
+        # auto-band.  Per-batch the scheduler clamps K to the SMEM budget
         # (fused_chunk.smem_stream_bytes); the launch pads the batch up
         # to a multiple of K, so K need not divide batch_size (K=3 at
         # the default batch of 32 pads one inactive slot).
@@ -196,7 +197,12 @@ class BatchedPOAEngine:
             # keeps the table at 24 padded rows for any p_cap in 5..12,
             # so shrinking p_cap can no longer rescue K — the old p_cap=9
             # fallback (and its ~2% >9-pred host-fallback tax) is gone
-            k_eff = self.interleave
+            # _k_compile_cap remembers a K the real Mosaic compiler
+            # rejected (the SMEM/VMEM budget model is an estimate; e.g.
+            # K=4 at lambda scale passes the model but fails to compile
+            # on-device, 2026-08-18) — never retry a K above it
+            k_eff = min(self.interleave,
+                        getattr(self, "_k_compile_cap", self.interleave))
             while (k_eff > 1 and FC.smem_stream_bytes(N, p_cap, sub_l)
                    * k_eff > FC.SMEM_BUDGET):
                 k_eff -= 1
@@ -250,7 +256,14 @@ class BatchedPOAEngine:
         # CPU is a proactive co-worker, not just a safety net.  Both
         # consumers steal through one cursor pair until they meet, which
         # auto-balances regardless of the per-window cost model.
-        _assist_env = os.environ.get("RACON_TPU_HOST_ASSIST", "1")
+        #
+        # Default: on only when the host has spare cores.  On a 1-core
+        # host the native worker starves the device feed loop (the tunnel
+        # client is host-bound): measured 2026-08-18 on real TPU, lambda
+        # K=2 warm ran 41.5 w/s device-only vs 30.1 w/s with assist.
+        _assist_default = "1" if (os.cpu_count() or 1) > 1 else "0"
+        _assist_env = os.environ.get("RACON_TPU_HOST_ASSIST",
+                                     _assist_default)
         if _assist_env == "force":
             assist_on = bool(eligible)
         elif _assist_env in ("0", "") or mode != "fused":
@@ -319,11 +332,29 @@ class BatchedPOAEngine:
             if not chunk:
                 break
             depth = max(len(windows[i].sequences) - 1 for i in chunk)
-            packed = self._launch_chunk(chunk, windows,
-                                        B=len(chunk), D=depth, L=L,
-                                        L0=L0, N=N, t_cap=t_cap, mode=mode,
-                                        p_cap=p_cap, interleave=k_eff,
-                                        band_sub=band_eff)
+            while True:
+                try:
+                    packed = self._launch_chunk(chunk, windows,
+                                                B=len(chunk), D=depth, L=L,
+                                                L0=L0, N=N, t_cap=t_cap,
+                                                mode=mode, p_cap=p_cap,
+                                                interleave=k_eff,
+                                                band_sub=band_eff)
+                    break
+                except Exception as e:
+                    # a K the budget model admits can still fail the real
+                    # Mosaic compile (mirrors the reference's GPU-batch
+                    # rejection -> retry contract); degrade K and retry —
+                    # output is K-invariant so this only costs speed
+                    if k_eff <= 1:
+                        raise
+                    k_eff -= 1
+                    self._k_compile_cap = k_eff
+                    self.stats["k"] = k_eff
+                    print("[racon_tpu::BatchedPOAEngine] chunk launch "
+                          f"failed at K={k_eff + 1} "
+                          f"({type(e).__name__}); retrying at K={k_eff}",
+                          file=sys.stderr)
             in_flight.append((chunk, packed))
             if len(in_flight) > MAX_IN_FLIGHT:
                 c, p = in_flight.pop(0)

@@ -22,6 +22,10 @@ import time
 
 import numpy as np
 
+# runnable from any cwd / without PYTHONPATH (the repo root is the package
+# root); keep the axon sitecustomize reachable via the ambient sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 

@@ -309,6 +309,12 @@ if __name__ == "__main__":
     if "ab4" in stages:
         stage_ab(ks=(4,))
         probe(" post-ab4")
+    if "ab4b3" in stages:
+        # repro of the production-path K=4 compile failure (2026-08-18):
+        # the lambda scheduler auto-banded K=4 to band_sub=3; the plain
+        # A/B only covered band 0 and 2 (both compiled, 2.07x)
+        stage_ab(ks=(4,), band_sub=3)
+        probe(" post-ab4b3")
     if "phases" in stages:
         stage_phases()
         probe(" post-phases")
