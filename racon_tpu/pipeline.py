@@ -545,7 +545,10 @@ class Polisher:
         ready: "_queue.Queue[int]" = _queue.Queue()
         order = sorted(range(len(overlaps)),
                        key=lambda k: (overlaps[k].t_id, overlaps[k].t_begin))
-        ALIGN_BATCH = 512
+        # adaptive producer granularity: 512 amortizes the native batch
+        # call at genome scale, but a small input (lambda: 181 overlaps)
+        # must still release windows in several waves or nothing overlaps
+        ALIGN_BATCH = max(32, min(512, len(order) // 8))
         err: List[BaseException] = []
 
         def _upto(o: Overlap) -> int:
@@ -614,20 +617,23 @@ class Polisher:
         done_ct = 0
         bar_i = 0
 
+        bs = max(1, getattr(engine, "batch_size", 32) or 32)
+
         def _consume(wid: int) -> None:
             for k, j in sorted(pending[wid]):
                 self._assign_layer_pair(overlaps[k], j)
             pending[wid] = []
             seg.append(wid)
 
-        def _flush() -> None:
+        def _flush(n: int) -> None:
             nonlocal done_ct, bar_i
-            rs = engine.polish_windows([self.windows[i] for i in seg],
+            take, rest = seg[:n], seg[n:]
+            rs = engine.polish_windows([self.windows[i] for i in take],
                                        self.trim)
-            for i, r in zip(seg, rs):
+            for i, r in zip(take, rs):
                 results[i] = r
-            done_ct += len(seg)
-            seg.clear()
+            done_ct += len(take)
+            seg[:] = rest
             while done_ct * 20 > (bar_i + 1) * n_win:
                 bar_i += 1
                 self.logger.bar("[racon_tpu::Polisher.polish] "
@@ -649,8 +655,16 @@ class Polisher:
                     live = False
                 else:
                     _consume(wid)
-            if seg and (len(seg) >= segment_size or not live):
-                _flush()
+            if not seg:
+                continue
+            if not live or len(seg) >= segment_size:
+                _flush(len(seg))
+            elif len(seg) >= bs and ready.empty():
+                # nothing else ready right now and the engine would sit
+                # idle: ship whole chunks, keep the ragged tail buffered
+                # (segment boundaries cannot change output — windows are
+                # independent once their layer adds are replayed)
+                _flush(len(seg) // bs * bs)
         producer.join()
         if err:
             raise err[0]

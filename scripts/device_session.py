@@ -309,6 +309,12 @@ if __name__ == "__main__":
     if "ab4" in stages:
         stage_ab(ks=(4,))
         probe(" post-ab4")
+    if "ab4n" in stages:
+        # N-alignment hypothesis for the production K=4 compile failure:
+        # the scheduler computes N=1792 (N+1=1793, not 8-divisible) while
+        # every A/B uses N=1791; K=4 band=3 at N=1791 compiles fine
+        stage_ab(ks=(4,), band_sub=3, N=1792)
+        probe(" post-ab4n")
     if "ab4b3" in stages:
         # repro of the production-path K=4 compile failure (2026-08-18):
         # the lambda scheduler auto-banded K=4 to band_sub=3; the plain
@@ -337,6 +343,10 @@ if __name__ == "__main__":
         # the production CLI config: streamed + host assist
         stage_ed(stream=True, assist=True)
         probe(" post-edstream")
+    if "edstream0" in stages:
+        # streamed WITHOUT host assist (the 1-core production default)
+        stage_ed(stream=True, assist=False)
+        probe(" post-edstream0")
     if "edw1000" in stages:
         stage_ed(wlen=1000, expect=1289)
         probe(" post-edw1000")
