@@ -1704,6 +1704,10 @@ struct SeqStream {
   gzFile f = nullptr;
   bool is_fastq = false;
   std::string carry;      // partial line data carried between reads
+  size_t off = 0;         // consumed prefix of carry (compacted lazily —
+                          // a per-record erase(0, n) is quadratic: each
+                          // memmoves the whole tail, ~99 s on a 138 MB
+                          // read set)
   bool eof = false;
 };
 
@@ -1809,19 +1813,36 @@ extern "C" void* rt_stream_next(void* handle, int64_t max_bytes,
   std::string data, qual;
   int64_t emitted = 0;
 
+  // compact + refill: drop the consumed prefix (one memmove of the small
+  // unconsumed tail) and read until at least `want` unconsumed bytes are
+  // in view.  Keeping the buffer O(read-ahead) instead of O(file) is what
+  // makes this linear — the old per-record erase(0, n) memmoved the whole
+  // remaining file for every record.
+  const auto refill = [&](size_t want) {
+    s->carry.erase(0, s->off);
+    s->off = 0;
+    return stream_fill(s, want);
+  };
+
   while (emitted < max_bytes) {
-    // ensure a decent buffer to scan records from
-    if (!stream_fill(s, s->carry.size() + (1 << 22))) {
-      *error = 1;
-      delete result;
-      return nullptr;
+    // keep a decent window of unconsumed data to scan records from
+    if (!s->eof && s->carry.size() - s->off < (1 << 22)) {
+      if (!refill(s->carry.size() + (1 << 22))) {
+        *error = 1;
+        delete result;
+        return nullptr;
+      }
     }
-    const char* p = s->carry.data();
-    const char* end = p + s->carry.size();
+    const char* base = s->carry.data();
+    const char* end = base + s->carry.size();
     // skip blank lines
-    const char* rec = p;
+    const char* rec = base + s->off;
     while (rec < end && (*rec == '\n' || *rec == '\r')) ++rec;
-    if (rec >= end) break;   // done
+    s->off = static_cast<size_t>(rec - base);
+    if (rec >= end) {
+      if (s->eof) break;   // done
+      continue;            // only blanks in view: refill
+    }
 
     // find the end of one complete record
     const char* q = rec;
@@ -1835,12 +1856,13 @@ extern "C" void* rt_stream_next(void* handle, int64_t max_bytes,
       const char* nxt = static_cast<const char*>(
           memchr(q + 1, '>', static_cast<size_t>(end - q - 1)));
       // record complete when the next '>' at line start or EOF is in buffer
-      while (nxt != nullptr && nxt > s->carry.data() && nxt[-1] != '\n') {
+      while (nxt != nullptr && nxt > base && nxt[-1] != '\n') {
         nxt = static_cast<const char*>(
             memchr(nxt + 1, '>', static_cast<size_t>(end - nxt - 1)));
       }
       if (nxt == nullptr && !s->eof) {
-        if (!stream_fill(s, s->carry.size() * 2 + (1 << 22))) {
+        // record longer than the window: compact and read more
+        if (!refill(s->carry.size() * 2 + (1 << 22))) {
           *error = 1;
           delete result;
           return nullptr;
@@ -1861,7 +1883,7 @@ extern "C" void* rt_stream_next(void* handle, int64_t max_bytes,
       qual.clear();
       append_record(result, name, name_len, data, qual);
       emitted += static_cast<int64_t>(data.size());
-      s->carry.erase(0, static_cast<size_t>(rend - s->carry.data()));
+      s->off = static_cast<size_t>(rend - base);
     } else {
       if (*q != '@') {
         *error = 2;
@@ -1892,17 +1914,21 @@ extern "C" void* rt_stream_next(void* handle, int64_t max_bytes,
         qual.append(lb, static_cast<size_t>(le - lb));
       }
       if ((!plus || qual.size() < data.size()) && !s->eof) {
-        if (!stream_fill(s, s->carry.size() * 2 + (1 << 22))) {
+        // incomplete record: compact, refill and rescan
+        if (!refill(s->carry.size() * 2 + (1 << 22))) {
           *error = 1;
           delete result;
           return nullptr;
         }
-        continue;   // incomplete record: refill and rescan
+        continue;
       }
       append_record(result, name, name_len, data, qual);
       emitted += static_cast<int64_t>(data.size());
-      s->carry.erase(0, static_cast<size_t>(cursor - s->carry.data()));
+      s->off = static_cast<size_t>(cursor - base);
     }
   }
+  // drop everything consumed this call so the carried tail stays small
+  s->carry.erase(0, s->off);
+  s->off = 0;
   return result;
 }

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import sys
 import threading
+import time
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -407,6 +408,7 @@ class BatchedPOAEngine:
         from racon_tpu.poa import engine as E
         from racon_tpu.poa.graph import weights_from_quality
 
+        t_pack0 = time.perf_counter()
         if mode is None:
             mode = self.mode
         if p_cap is None:
@@ -494,12 +496,19 @@ class BatchedPOAEngine:
                                        t_cap=t_cap,
                                        use_pallas=self.use_pallas)
             packed = E.pack_for_download(state)
+        # host-phase accounting (dispatch is async, so this is ~pure host
+        # pack/encode time); on a 1-core host this bounds throughput
+        self.stats["t_pack"] = (self.stats.get("t_pack", 0.0)
+                                + time.perf_counter() - t_pack0)
         return packed
 
     def _collect_chunk(self, chunk: List[int], windows: List[Window],
                        results, trim: bool, packed) -> None:
         """Download one chunk's graphs and run host consensus/trim."""
+        t0 = time.perf_counter()
         packed = {k: np.asarray(v) for k, v in packed.items()}
+        t1 = time.perf_counter()
+        self.stats["t_wait"] = self.stats.get("t_wait", 0.0) + t1 - t0
         failed = packed["failed"]
         for code in np.asarray(packed.get("failed_code", failed))[
                 :len(chunk)]:
@@ -547,3 +556,5 @@ class BatchedPOAEngine:
                                            len(w.sequences), w.id, w.rank)
             results[i] = (consensus, True)
             self.stats["device"] += 1
+        self.stats["t_consensus"] = (self.stats.get("t_consensus", 0.0)
+                                     + time.perf_counter() - t1)
