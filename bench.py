@@ -79,41 +79,55 @@ def main() -> int:
     wps = n_windows / dt
     polished_bases = sum(len(c) for c, ok in results if c)
 
-    # end-to-end time as a user sees it: a full fresh pipeline run in
-    # streamed mode (the CLI default for device engines — the align phase
-    # overlaps device consensus of the completed window frontier), with
-    # the consensus programs already compiled.  The phased decomposition
-    # (init incl. align, then consensus) is reported beside it.
-    t0 = time.time()
-    p2 = create_polisher(
-        f"{DATA}/sample_reads.fastq.gz",
-        f"{DATA}/sample_overlaps.paf.gz",
-        f"{DATA}/sample_layout.fasta.gz",
-        PolisherType.kC, 500, 10.0, 0.3, True, 5, -4, -8,
-        num_threads=int(os.environ.get("RACON_TPU_BENCH_THREADS", "4")),
-        engine=engine, stream=True)
-    p2.initialize()
-    out = p2.polish(True)
-    e2e = time.time() - t0
-    assert out and out[0].data, "streamed pipeline produced no output"
+    # end-to-end time as a user sees it: the PHASED pipeline (the CLI
+    # default — init incl. align, then consensus), decomposed from the
+    # measurements above.  A full fresh STREAMED run (opt-in --stream:
+    # the align phase overlaps device consensus of the completed window
+    # frontier through the engine's streaming session API) is measured
+    # beside it so the artifact records whether streaming wins.
     e2e_phased = t_init + dt
+    e2e_stream = None
+    if os.environ.get("RACON_TPU_BENCH_STREAM", "1") != "0":
+        t0 = time.time()
+        p2 = create_polisher(
+            f"{DATA}/sample_reads.fastq.gz",
+            f"{DATA}/sample_overlaps.paf.gz",
+            f"{DATA}/sample_layout.fasta.gz",
+            PolisherType.kC, 500, 10.0, 0.3, True, 5, -4, -8,
+            num_threads=int(os.environ.get("RACON_TPU_BENCH_THREADS", "4")),
+            engine=engine, stream=True)
+        p2.initialize()
+        out = p2.polish(True)
+        e2e_stream = time.time() - t0
+        assert out and out[0].data, "streamed pipeline produced no output"
+    e2e = e2e_phased
     mbps = polished_bases / e2e / 1e6
 
     stats = getattr(eng, "stats", {})
+    # phase breakdown (cumulative over warm + timed polish calls): t_pack
+    # is host-side encode/pack before async dispatch, t_wait the blocking
+    # device download, t_consensus the host consensus/trim after download
+    # — a throughput regression must be attributable from this artifact
+    # alone (reference analog: per-phase logs, src/polisher.cpp:534-543)
+    phases = {k: round(stats.get(k, 0.0), 2)
+              for k in ("t_pack", "t_wait", "t_consensus")}
+    stream_str = (f"(streamed {e2e_stream:.2f}s) "
+                  if e2e_stream is not None else "")
     print(f"[bench] engine={engine} used={engine_used} "
           f"windows={n_windows} init={t_init:.2f}s "
           f"warm={warm:.2f}s timed={dt:.2f}s e2e={e2e:.2f}s "
-          f"(phased {e2e_phased:.2f}s) "
+          f"{stream_str}"
           f"({mbps:.3f} Mbases/s e2e) device={stats.get('device')} "
           f"fallback={stats.get('fallback')} trivial={stats.get('trivial')} "
           f"degraded={stats.get('degraded', 0)} "
           f"k={stats.get('k')} band={stats.get('band')} "
           f"host_assist={stats.get('host_assist', 0)} "
+          f"phases={phases} "
           f"fresh_compiles={n_cached1 - n_cached0} "
           f"(cache entries {n_cached1})",
           file=sys.stderr)
 
-    print(json.dumps({
+    rec = {
         "metric": "lambda_polish_windows_per_sec",
         "value": round(wps, 3),
         "unit": "windows/s",
@@ -121,11 +135,21 @@ def main() -> int:
         "e2e_sec": round(e2e, 2),
         "e2e_phased_sec": round(e2e_phased, 2),
         "e2e_vs_baseline": round(CPU_BASELINE_E2E_SEC / e2e, 3),
+        "init_sec": round(t_init, 2),
+        "warm_sec": round(warm, 2),
+        "timed_sec": round(dt, 2),
+        "t_pack": phases["t_pack"],
+        "t_wait": phases["t_wait"],
+        "t_consensus": phases["t_consensus"],
         "k": stats.get("k", 0),
+        "band": stats.get("band", 0),
         "fallback": stats.get("fallback", 0),
         "host_assist": stats.get("host_assist", 0),
         "engine": engine_used,
-    }))
+    }
+    if e2e_stream is not None:
+        rec["e2e_stream_sec"] = round(e2e_stream, 2)
+    print(json.dumps(rec))
     return 0
 
 

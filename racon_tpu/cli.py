@@ -67,11 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "automatically to 10%% of the mean overlap length "
                         "(reference: cudaaligner-band-width, "
                         "src/cuda/cudapolisher.cpp:150-163)")
+    p.add_argument("--stream", action="store_true",
+                   help="overlap the align phase with device consensus "
+                        "(align remaining overlaps on the host WHILE "
+                        "polishing already-completed windows; output is "
+                        "bit-identical either way).  Off by default: "
+                        "phased is the measured-fastest mode on this "
+                        "hardware (BENCH_r03 regression analysis)")
     p.add_argument("--no-stream", action="store_true",
-                   help="disable the streamed align->consensus overlap "
-                        "(device engines align the remaining overlaps on "
-                        "the host WHILE polishing already-completed "
-                        "windows; output is bit-identical either way)")
+                   help=argparse.SUPPRESS)  # legacy: streaming is now opt-in
     p.add_argument("--version", action="version",
                    version=version_string)
     return p
@@ -102,7 +106,7 @@ def main(argv=None) -> int:
         not args.no_trimming, args.match, args.mismatch, args.gap,
         args.threads, engine=args.engine, tpu_align=args.tpu_align,
         band_width=args.band_width, batch_size=args.batch_size,
-        stream=(not args.no_stream
+        stream=(args.stream and not args.no_stream
                 and args.engine in ("auto", "tpu")))
     polisher.initialize()
     polished = polisher.polish(not args.include_unpolished)

@@ -1827,7 +1827,9 @@ extern "C" void* rt_stream_next(void* handle, int64_t max_bytes,
   while (emitted < max_bytes) {
     // keep a decent window of unconsumed data to scan records from
     if (!s->eof && s->carry.size() - s->off < (1 << 22)) {
-      if (!refill(s->carry.size() + (1 << 22))) {
+      // want is measured post-compaction: base it on the unconsumed
+      // size, or the read-ahead window grows ~4 MB per refill
+      if (!refill(s->carry.size() - s->off + (1 << 22))) {
         *error = 1;
         delete result;
         return nullptr;
@@ -1862,7 +1864,7 @@ extern "C" void* rt_stream_next(void* handle, int64_t max_bytes,
       }
       if (nxt == nullptr && !s->eof) {
         // record longer than the window: compact and read more
-        if (!refill(s->carry.size() * 2 + (1 << 22))) {
+        if (!refill((s->carry.size() - s->off) * 2 + (1 << 22))) {
           *error = 1;
           delete result;
           return nullptr;
@@ -1915,7 +1917,7 @@ extern "C" void* rt_stream_next(void* handle, int64_t max_bytes,
       }
       if ((!plus || qual.size() < data.size()) && !s->eof) {
         // incomplete record: compact, refill and rescan
-        if (!refill(s->carry.size() * 2 + (1 << 22))) {
+        if (!refill((s->carry.size() - s->off) * 2 + (1 << 22))) {
           *error = 1;
           delete result;
           return nullptr;

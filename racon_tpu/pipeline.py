@@ -618,6 +618,13 @@ class Polisher:
         bar_i = 0
 
         bs = max(1, getattr(engine, "batch_size", 32) or 32)
+        # engines with the streaming session API keep launched chunks in
+        # flight ACROSS submits (no per-segment launch->collect barrier);
+        # legacy engines fall back to one polish_windows call per segment
+        session = hasattr(engine, "stream_begin")
+        if session:
+            engine.stream_begin(self.trim)
+            submitted: List[int] = []
 
         def _consume(wid: int) -> None:
             for k, j in sorted(pending[wid]):
@@ -628,10 +635,14 @@ class Polisher:
         def _flush(n: int) -> None:
             nonlocal done_ct, bar_i
             take, rest = seg[:n], seg[n:]
-            rs = engine.polish_windows([self.windows[i] for i in take],
-                                       self.trim)
-            for i, r in zip(take, rs):
-                results[i] = r
+            if session:
+                engine.stream_submit([self.windows[i] for i in take])
+                submitted.extend(take)
+            else:
+                rs = engine.polish_windows([self.windows[i] for i in take],
+                                           self.trim)
+                for i, r in zip(take, rs):
+                    results[i] = r
             done_ct += len(take)
             seg[:] = rest
             while done_ct * 20 > (bar_i + 1) * n_win:
@@ -660,11 +671,16 @@ class Polisher:
             if not live or len(seg) >= segment_size:
                 _flush(len(seg))
             elif len(seg) >= bs and ready.empty():
-                # nothing else ready right now and the engine would sit
-                # idle: ship whole chunks, keep the ragged tail buffered
+                # nothing else ready right now and the device would
+                # otherwise idle: ship whole chunks (launches are async
+                # under the session API), keep the ragged tail buffered
                 # (segment boundaries cannot change output — windows are
                 # independent once their layer adds are replayed)
                 _flush(len(seg) // bs * bs)
+        if session:
+            rs = engine.stream_end()
+            for i, r in zip(submitted, rs):
+                results[i] = r
         producer.join()
         if err:
             raise err[0]

@@ -124,13 +124,55 @@ class BatchedPOAEngine:
         self.stats = {"windows": 0, "device": 0, "fallback": 0, "trivial": 0}
 
     # ------------------------------------------------------------------ #
+    # streaming session API
+    #
+    # polish_windows is a one-submit session; the streamed pipeline
+    # (pipeline._polish_streamed) instead opens a session and submits
+    # window segments as the aligner completes them.  Chunks launched by
+    # earlier submits stay in flight across submit calls, so the device
+    # pipeline never drains between segments — the round-3 streamed path
+    # called polish_windows per segment and paid a synchronous
+    # launch->collect barrier each time (BENCH_r03: 54.8 s streamed vs
+    # 11.7 s phased on the same run).
+    # ------------------------------------------------------------------ #
 
     def polish_windows(self, windows: List[Window],
                        trim: bool) -> List[Tuple[bytes, bool]]:
-        import jax.numpy as jnp
-        from racon_tpu.poa import engine as E
+        self.stream_begin(trim)
+        self.stream_submit(windows)
+        return self.stream_end()  # type: ignore[return-value]
 
-        results: List[Optional[Tuple[bytes, bool]]] = [None] * len(windows)
+    def stream_begin(self, trim: bool) -> None:
+        """Open a streaming polish session.
+
+        Results are returned by stream_end in submission order; all
+        device work launched by stream_submit stays asynchronous until
+        the in-flight window exceeds the pipeline depth."""
+        if getattr(self, "_st", None) is not None:
+            raise RuntimeError("stream session already open")
+        self._st = {
+            "trim": trim,
+            "windows": [],       # all submitted windows, in order
+            "results": [],       # parallel to windows
+            "inflight": [],      # launched, uncollected (chunk, packed)
+            "oversize": [],      # global idxs routed to host fallback
+            "eligible_all": [],  # global idxs that went to device/assist
+            "assist": [],        # assist worker threads to join
+        }
+
+    def stream_backlog(self) -> int:
+        """Launched-but-uncollected chunks (device-side queue depth)."""
+        st = getattr(self, "_st", None)
+        return len(st["inflight"]) if st else 0
+
+    def stream_submit(self, windows: List[Window]) -> None:
+        st = self._st
+        base = len(st["windows"])
+        st["windows"].extend(windows)
+        st["results"].extend([None] * len(windows))
+        allw: List[Window] = st["windows"]
+        results: List[Optional[Tuple[bytes, bool]]] = st["results"]
+        trim: bool = st["trim"]
         self.stats["windows"] += len(windows)
 
         # per-kernel sequence cap: the packed DP row holds L+1 <= 1024
@@ -143,8 +185,8 @@ class BatchedPOAEngine:
             l_cap = 1 << 30
 
         eligible: List[int] = []
-        oversize: List[int] = []
-        for i, w in enumerate(windows):
+        for li, w in enumerate(windows):
+            i = base + li
             if len(w.sequences) < 3:
                 results[i] = (w.sequences[0], False)
                 self.stats["trivial"] += 1
@@ -153,18 +195,16 @@ class BatchedPOAEngine:
                 # depth-capped windows ride the host oracle: per-node
                 # coverage lives in a 16-bit packed field on device (and
                 # was always downcast to int16 on download)
-                oversize.append(i)
+                st["oversize"].append(i)
             else:
                 eligible.append(i)
-        if not eligible and not oversize:
-            return results  # type: ignore[return-value]
+        if not eligible:
+            return
+        st["eligible_all"].extend(eligible)
 
-        if eligible:
-            max_backbone = max(len(windows[i].sequences[0]) for i in eligible)
-            max_layer = max(max(len(s) for s in windows[i].sequences[1:])
-                            for i in eligible)
-        else:
-            max_backbone, max_layer = 16, 16
+        max_backbone = max(len(allw[i].sequences[0]) for i in eligible)
+        max_layer = max(max(len(s) for s in allw[i].sequences[1:])
+                        for i in eligible)
         # L is capped at l_cap (= LP-1 on the kernel paths) so a window
         # admitted as eligible always fits the packed DP row; mode is a
         # local decision per call — never mutate self.mode, or one exotic
@@ -173,10 +213,10 @@ class BatchedPOAEngine:
         L0 = max_backbone
         N = _round_up(max(int(self.node_factor * max_backbone),
                           max_backbone + 256), 256)
-        # shape high-water mark: streamed mode calls polish_windows per
-        # window segment, and letting (L, N) float with each segment's max
-        # would compile a fresh (minutes-long) program per distinct shape —
-        # grow-only shapes keep later segments on the already-built program
+        # shape high-water mark: streamed mode submits window segments,
+        # and letting (L, N) float with each segment's max would compile a
+        # fresh (minutes-long) program per distinct shape — grow-only
+        # shapes keep later segments on the already-built program
         L = self._L_hwm = max(L, getattr(self, "_L_hwm", 0))
         N = self._N_hwm = max(N, getattr(self, "_N_hwm", 0))
         L0 = self._L0_hwm = max(L0, getattr(self, "_L0_hwm", 0))
@@ -189,43 +229,11 @@ class BatchedPOAEngine:
         mode = self.mode
         p_cap = self.p_cap
         k_eff, band_eff = 1, 0
+        N0, sub_l = N, 0
         if mode == "fused":
             from racon_tpu.poa import fused_chunk as FC
             sub_l = -(-(L + 1) // 128)
-            # interleave streams are SMEM-bounded (each carries a private
-            # state table); K is clamped per batch, not failed.  The
-            # 16-bit row packing (fused_chunk cov+rep / letter pairs)
-            # keeps the table at 24 padded rows for any p_cap in 5..12,
-            # so shrinking p_cap can no longer rescue K — the old p_cap=9
-            # fallback (and its ~2% >9-pred host-fallback tax) is gone
-            # _k_compile_cap remembers a K the real Mosaic compiler
-            # rejected (the SMEM/VMEM budget model is an estimate; e.g.
-            # K=4 at lambda scale passes the model but fails to compile
-            # on-device, 2026-08-18) — never retry a K above it
-            k_eff = min(self.interleave,
-                        getattr(self, "_k_compile_cap", self.interleave))
-            while (k_eff > 1 and FC.smem_stream_bytes(N, p_cap, sub_l)
-                   * k_eff > FC.SMEM_BUDGET):
-                k_eff -= 1
-            # the on-chip H matrix ((N+1) x rows x 512 B per stream x K
-            # streams) is VMEM-bounded: keep full rows if they fit at full
-            # node capacity, else band to the widest row that fits, else
-            # (forced band, or band floor reached) shrink N.  The budget
-            # charges the double-buffered per-stream output blocks first
-            # (state + noderow, ~0.8 MB/stream at lambda scale) — at K=4
-            # they push full H rows past the core limit on their own
-            avail = VMEM_BUDGET - k_eff * FC.vmem_stream_fixed_bytes(
-                N, p_cap)
-            if self.band_sub is None:
-                fit = avail // ((N + 1) * 512 * k_eff)
-                band_eff = 0 if fit >= sub_l else max(int(fit), 2)
-            else:
-                band_eff = self.band_sub
-            bs_eff = band_eff if 0 < band_eff < sub_l else sub_l
-            while ((N + 1) * bs_eff * 512 * k_eff
-                   > VMEM_BUDGET - k_eff * FC.vmem_stream_fixed_bytes(
-                       N, p_cap)) and N > 1024:
-                N -= 256
+            k_eff, band_eff, N = self._fused_plan(N0, p_cap, sub_l)
             self.stats["k"] = k_eff
             self.stats["band"] = band_eff
             if not FC.check_capacity(N, self.match, self.mismatch, self.gap,
@@ -242,7 +250,7 @@ class BatchedPOAEngine:
         # on device) — so no depth bucketing is needed at all; sorting by
         # depth and chunking consecutively makes every chunk run
         # ~min(depth)==max(depth) layer steps with no idle layer slots
-        eligible.sort(key=lambda i: len(windows[i].sequences))
+        eligible.sort(key=lambda i: len(allw[i].sequences))
 
         # Host-assist work stealing: while the device crunches a resident
         # chunk the host core is idle (one blocking RPC per chunk), so a
@@ -306,7 +314,7 @@ class BatchedPOAEngine:
                     return
                 try:
                     fb = _assist_rtlib.polish_windows(
-                        [windows[i] for i in batch], self.match,
+                        [allw[i] for i in batch], self.match,
                         self.mismatch, self.gap, trim)
                 except Exception:  # pragma: no cover - native call failed
                     return  # un-polished steals ride the final fallback
@@ -315,75 +323,172 @@ class BatchedPOAEngine:
                 self.stats["host_assist"] = (
                     self.stats.get("host_assist", 0) + len(batch))
 
-        assist_thread = None
         if assist_on:
-            assist_thread = threading.Thread(target=_assist_worker,
-                                             daemon=True)
-            assist_thread.start()
+            t = threading.Thread(target=_assist_worker, daemon=True)
+            t.start()
+            st["assist"].append(t)
 
         # Pipeline: launch device work a few chunks ahead, collect behind —
         # the download + host consensus of chunk k overlaps the device
         # compute of chunks k+1.. (the reference overlaps CPU and GPU via
         # batch threads, src/cuda/cudapolisher.cpp:286-345; here JAX async
-        # dispatch provides the overlap)
-        in_flight: List = []
+        # dispatch provides the overlap).  In a streaming session the
+        # in-flight list persists across submits: the tail chunks of this
+        # segment keep the device busy while the next segment aligns.
+        in_flight: List = st["inflight"]
         MAX_IN_FLIGHT = max(3, 2 * len(self.devices))
         while True:
             chunk = _take_back(self.batch_size)
             if not chunk:
                 break
-            depth = max(len(windows[i].sequences) - 1 for i in chunk)
-            while True:
-                try:
-                    packed = self._launch_chunk(chunk, windows,
-                                                B=len(chunk), D=depth, L=L,
-                                                L0=L0, N=N, t_cap=t_cap,
-                                                mode=mode, p_cap=p_cap,
-                                                interleave=k_eff,
-                                                band_sub=band_eff)
-                    break
-                except Exception as e:
-                    # a K the budget model admits can still fail the real
-                    # Mosaic compile (mirrors the reference's GPU-batch
-                    # rejection -> retry contract); degrade K and retry —
-                    # output is K-invariant so this only costs speed
-                    if k_eff <= 1:
-                        raise
-                    k_eff -= 1
-                    self._k_compile_cap = k_eff
-                    self.stats["k"] = k_eff
-                    print("[racon_tpu::BatchedPOAEngine] chunk launch "
-                          f"failed at K={k_eff + 1} "
-                          f"({type(e).__name__}); retrying at K={k_eff}",
-                          file=sys.stderr)
+            depth = max(len(allw[i].sequences) - 1 for i in chunk)
+            packed, k_eff, band_eff, N = self._launch_with_degrade(
+                chunk, allw, depth=depth, L=L, L0=L0, N=N, N0=N0,
+                t_cap=t_cap, mode=mode, p_cap=p_cap, sub_l=sub_l,
+                k_eff=k_eff, band_eff=band_eff)
             in_flight.append((chunk, packed))
-            if len(in_flight) > MAX_IN_FLIGHT:
+            while len(in_flight) > MAX_IN_FLIGHT:
                 c, p = in_flight.pop(0)
-                self._collect_chunk(c, windows, results, trim, p)
-        for c, p in in_flight:
-            self._collect_chunk(c, windows, results, trim, p)
-        if assist_thread is not None:
-            assist_thread.join()
+                self._collect_chunk(c, allw, results, trim, p)
+
+    def stream_end(self) -> List[Tuple[bytes, bool]]:
+        st = self._st
+        self._st = None
+        allw, results, trim = st["windows"], st["results"], st["trim"]
+        for c, p in st["inflight"]:
+            self._collect_chunk(c, allw, results, trim, p)
+        for t in st["assist"]:
+            t.join()
         if self.progress is not None:
-            self.progress(len(windows), len(windows))
+            self.progress(len(allw), len(allw))
 
         # host fallback for oversize windows and device-flagged failures
         # (native C++ oracle; reference: src/cuda/cudapolisher.cpp:354-378)
-        failed = oversize + [i for i in eligible if results[i] is None]
+        failed = st["oversize"] + [i for i in st["eligible_all"]
+                                   if results[i] is None]
         if failed:
             self.stats["fallback"] += len(failed)
             try:
                 from racon_tpu.native import rtlib
-                fb = rtlib.polish_windows([windows[i] for i in failed],
+                fb = rtlib.polish_windows([allw[i] for i in failed],
                                           self.match, self.mismatch,
                                           self.gap, trim)
             except Exception:  # pragma: no cover - no compiler available
                 from racon_tpu.poa.consensus import consensus_window
-                fb = [consensus_window(windows[i], self.match, self.mismatch,
+                fb = [consensus_window(allw[i], self.match, self.mismatch,
                                        self.gap, trim) for i in failed]
             for i, r in zip(failed, fb):
                 results[i] = r
         return results  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------ #
+    # launch planning
+    # ------------------------------------------------------------------ #
+
+    def _fused_plan(self, N0: int, p_cap: int,
+                    sub_l: int) -> Tuple[int, int, int]:
+        """(k_eff, band_eff, N) for one fused launch shape.
+
+        Interleave streams are SMEM-bounded (each carries a private state
+        table); K is clamped per batch, not failed.  The 16-bit row
+        packing (fused_chunk cov+rep / letter pairs) keeps the table at
+        24 padded rows for any p_cap in 5..12, so shrinking p_cap can no
+        longer rescue K — the old p_cap=9 fallback (and its ~2% >9-pred
+        host-fallback tax) is gone.  _k_compile_cap remembers a K the
+        real Mosaic compiler rejected (the SMEM/VMEM budget model is an
+        estimate; e.g. K=4 at lambda scale passes the model but fails to
+        compile on-device, 2026-08-18) — never retry a K above it."""
+        from racon_tpu.poa import fused_chunk as FC
+        k_eff = min(self.interleave,
+                    getattr(self, "_k_compile_cap", self.interleave))
+        while (k_eff > 1 and FC.smem_stream_bytes(N0, p_cap, sub_l)
+               * k_eff > FC.SMEM_BUDGET):
+            k_eff -= 1
+        band_eff, N = self._band_plan(N0, p_cap, sub_l, k_eff)
+        return k_eff, band_eff, N
+
+    def _band_plan(self, N0: int, p_cap: int, sub_l: int,
+                   k_eff: int) -> Tuple[int, int]:
+        """(band_eff, N) for a given K.
+
+        The on-chip H matrix ((N+1) x rows x 512 B per stream x K
+        streams) is VMEM-bounded: keep full rows if they fit at full
+        node capacity, else band to the widest row that fits, else
+        (forced band, or band floor reached) shrink N.  The budget
+        charges the double-buffered per-stream output blocks first
+        (state + noderow, ~0.8 MB/stream at lambda scale) — at K=4
+        they push full H rows past the core limit on their own."""
+        from racon_tpu.poa import fused_chunk as FC
+        N = N0
+        avail = VMEM_BUDGET - k_eff * FC.vmem_stream_fixed_bytes(N, p_cap)
+        if self.band_sub is None:
+            fit = avail // ((N + 1) * 512 * k_eff)
+            band_eff = 0 if fit >= sub_l else max(int(fit), 2)
+        else:
+            band_eff = self.band_sub
+        bs_eff = band_eff if 0 < band_eff < sub_l else sub_l
+        while ((N + 1) * bs_eff * 512 * k_eff
+               > VMEM_BUDGET - k_eff * FC.vmem_stream_fixed_bytes(
+                   N, p_cap)) and N > 1024:
+            N -= 256
+        return band_eff, N
+
+    @staticmethod
+    def _is_transient_error(e: BaseException) -> bool:
+        """Tunnel/backend blips to retry at the SAME config — never to be
+        misread as Mosaic compile rejections (a degraded-and-capped K
+        silently forfeits the interleave speedup for the whole run)."""
+        msg = f"{type(e).__name__}: {e}"
+        if "Mosaic" in msg or "RESOURCE_EXHAUSTED" in msg:
+            return False
+        return any(s in msg for s in (
+            "TPU backend error", "Connection refused", "Connection reset",
+            "UNAVAILABLE", "DEADLINE", "Socket closed",
+            "failed to connect"))
+
+    def _launch_with_degrade(self, chunk: List[int], windows: List[Window],
+                             depth: int, L: int, L0: int, N: int, N0: int,
+                             t_cap: int, mode: str, p_cap: int, sub_l: int,
+                             k_eff: int, band_eff: int):
+        """Launch one chunk; on failure retry transient errors once at the
+        same config, then degrade K (recomputing the auto band and the
+        VMEM N-shrink for the smaller K — a K=4-derived band is narrower
+        than K=3's own auto band and would raise band-edge fallbacks).
+        A K the budget model admits can still fail the real Mosaic
+        compile (mirrors the reference's GPU-batch rejection -> retry
+        contract); output is K-invariant so degrading only costs speed."""
+        transient_left = 1
+        while True:
+            try:
+                packed = self._launch_chunk(chunk, windows,
+                                            B=len(chunk), D=depth, L=L,
+                                            L0=L0, N=N, t_cap=t_cap,
+                                            mode=mode, p_cap=p_cap,
+                                            interleave=k_eff,
+                                            band_sub=band_eff)
+                return packed, k_eff, band_eff, N
+            except Exception as e:
+                transient = self._is_transient_error(e)
+                if transient and transient_left:
+                    transient_left -= 1
+                    print("[racon_tpu::BatchedPOAEngine] transient backend "
+                          f"error ({type(e).__name__}); retrying the same "
+                          "launch", file=sys.stderr)
+                    time.sleep(2.0)
+                    continue
+                if k_eff <= 1 or mode != "fused":
+                    raise
+                k_eff -= 1
+                if not transient:
+                    # persist the cap only for genuine compile rejections
+                    self._k_compile_cap = k_eff
+                band_eff, N = self._band_plan(N0, p_cap, sub_l, k_eff)
+                self.stats["k"] = k_eff
+                self.stats["band"] = band_eff
+                print("[racon_tpu::BatchedPOAEngine] chunk launch "
+                      f"failed at K={k_eff + 1} "
+                      f"({type(e).__name__}); retrying at K={k_eff} "
+                      f"band={band_eff}", file=sys.stderr)
 
     # ------------------------------------------------------------------ #
 

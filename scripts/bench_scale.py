@@ -186,12 +186,14 @@ def main():
             "windows": n_windows,
             "ed_pct": round(ed / genome_bp * 100, 4),
             "fresh_compiles": n_cached1 - n_cached0,
-            "stats": {k: int(v) for k, v in stats.items()},
+            "stats": {k: (round(v, 2) if isinstance(v, float) else int(v))
+                      for k, v in stats.items()},
         }
         print(json.dumps(rec))
         if args.out:
             with open(args.out, "w") as f:
                 json.dump(rec, f, indent=1)
+                f.write("\n")
 
 
 if __name__ == "__main__":

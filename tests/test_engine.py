@@ -155,3 +155,112 @@ def test_engine_trivial_and_fallback_paths():
     engine = BatchedPOAEngine(3, -5, -4)
     got = engine.polish_windows([w], trim=True)
     assert got[0] == (b"ACGT", False)
+
+
+# --------------------------------------------------------------------- #
+# streaming session API (stream_begin / stream_submit / stream_end)
+# --------------------------------------------------------------------- #
+
+def test_streaming_session_matches_phased():
+    """Multi-submit session output must be bit-identical to one
+    polish_windows call over the same windows, and launched chunks must
+    stay in flight across submits (no per-segment collect barrier)."""
+    rng = random.Random(77)
+    windows = [make_window(rng, length=120, depth=5 + (i % 3))[0]
+               for i in range(9)]
+
+    phased = BatchedPOAEngine(3, -5, -4, batch_size=2)
+    want = phased.polish_windows(list(windows), trim=False)
+
+    eng = BatchedPOAEngine(3, -5, -4, batch_size=2)
+    eng.stream_begin(trim=False)
+    eng.stream_submit(windows[:4])
+    backlog_mid = eng.stream_backlog()
+    eng.stream_submit(windows[4:7])
+    eng.stream_submit(windows[7:])
+    got = eng.stream_end()
+
+    assert backlog_mid > 0, "first submit's chunks should still be in flight"
+    assert got == want
+    assert eng.stats["fallback"] == 0
+    # a second session on the same engine must start clean
+    eng.stream_begin(trim=False)
+    eng.stream_submit(windows[:2])
+    assert eng.stream_end() == want[:2]
+
+
+def test_streaming_session_guards_double_begin():
+    eng = BatchedPOAEngine(3, -5, -4)
+    eng.stream_begin(trim=False)
+    with pytest.raises(RuntimeError, match="already open"):
+        eng.stream_begin(trim=False)
+    eng.stream_end()
+
+
+# --------------------------------------------------------------------- #
+# launch failure policy: transient backend errors retry at the same K;
+# compile rejections degrade K with a recomputed band and persist the cap
+# --------------------------------------------------------------------- #
+
+class _FakeCompileError(RuntimeError):
+    pass
+
+
+def _degrade_harness(monkeypatch, errors):
+    """Engine whose _launch_chunk raises errors[i] on call i (then
+    succeeds); returns (engine, seen_configs)."""
+    eng = BatchedPOAEngine(3, -5, -4, batch_size=4, interleave=3,
+                           mode="fused")
+    seen = []
+    calls = {"n": 0}
+
+    def fake_launch(chunk, windows, **kw):
+        seen.append((kw["interleave"], kw["band_sub"], kw["N"]))
+        i = calls["n"]
+        calls["n"] += 1
+        if i < len(errors):
+            raise errors[i]
+        return {"ok": True}
+
+    monkeypatch.setattr(eng, "_launch_chunk", fake_launch)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    return eng, seen
+
+
+def test_transient_error_retries_same_config(monkeypatch):
+    eng, seen = _degrade_harness(
+        monkeypatch, [RuntimeError("INTERNAL: TPU backend error")])
+    packed, k, band, N = eng._launch_with_degrade(
+        [0], [], depth=4, L=256, L0=100, N=1024, N0=1024, t_cap=1280,
+        mode="fused", p_cap=12, sub_l=3, k_eff=3, band_eff=0)
+    assert packed == {"ok": True}
+    assert k == 3, "transient error must not degrade K"
+    assert [c[0] for c in seen] == [3, 3]
+    assert not hasattr(eng, "_k_compile_cap")
+
+
+def test_compile_error_degrades_k_and_recomputes_band(monkeypatch):
+    eng, seen = _degrade_harness(
+        monkeypatch, [_FakeCompileError("Mosaic failed to compile")])
+    packed, k, band, N = eng._launch_with_degrade(
+        [0], [], depth=4, L=256, L0=100, N=1024, N0=1024, t_cap=1280,
+        mode="fused", p_cap=12, sub_l=3, k_eff=3, band_eff=0)
+    assert packed == {"ok": True}
+    assert k == 2 and eng._k_compile_cap == 2
+    # the retry's band/N must come from _band_plan at the DEGRADED K,
+    # not reuse the K=3-derived values
+    want_band, want_N = eng._band_plan(1024, 12, 3, 2)
+    assert seen[1] == (2, want_band, want_N)
+
+
+def test_transient_then_fail_degrades_without_cap(monkeypatch):
+    """A transient error that persists past the same-config retry still
+    degrades K (progress over purity) but must NOT poison
+    _k_compile_cap for the rest of the run."""
+    errs = [RuntimeError("UNAVAILABLE: connection dropped")] * 2
+    eng, seen = _degrade_harness(monkeypatch, errs)
+    packed, k, band, N = eng._launch_with_degrade(
+        [0], [], depth=4, L=256, L0=100, N=1024, N0=1024, t_cap=1280,
+        mode="fused", p_cap=12, sub_l=3, k_eff=3, band_eff=0)
+    assert k == 2
+    assert not hasattr(eng, "_k_compile_cap")
