@@ -482,12 +482,15 @@ class BatchedPOAEngine:
                 if not transient:
                     # persist the cap only for genuine compile rejections
                     self._k_compile_cap = k_eff
+                print("[racon_tpu::BatchedPOAEngine] chunk launch "
+                      f"failed at K={k_eff + 1} "
+                      f"(B={len(chunk)} D={depth} L={L} L0={L0} N={N} "
+                      f"band={band_eff} p_cap={p_cap} t_cap={t_cap}): "
+                      f"{type(e).__name__}: {str(e)[:400]}", file=sys.stderr)
                 band_eff, N = self._band_plan(N0, p_cap, sub_l, k_eff)
                 self.stats["k"] = k_eff
                 self.stats["band"] = band_eff
-                print("[racon_tpu::BatchedPOAEngine] chunk launch "
-                      f"failed at K={k_eff + 1} "
-                      f"({type(e).__name__}); retrying at K={k_eff} "
+                print(f"[racon_tpu::BatchedPOAEngine] retrying at K={k_eff} "
                       f"band={band_eff}", file=sys.stderr)
 
     # ------------------------------------------------------------------ #

@@ -141,6 +141,12 @@ def _make_lambda_polisher(wlen=500):
 
 
 def stage_lambda(cfgs=((1, 0), (2, -1), (3, -1), (4, -1))):
+    """Default ladder; the round-4 'ladder' stage runs the full
+    K x band grid from VERDICT item 1."""
+    _stage_lambda(cfgs)
+
+
+def _stage_lambda(cfgs):
     """Real lambda windows through BatchedPOAEngine at each
     (K, band_sub[, batch_size]) config (band -1 = leave the auto policy):
     bit-compare consensus vs the first config, steady-state w/s, failure
@@ -327,6 +333,13 @@ if __name__ == "__main__":
     if "lambda" in stages:
         stage_lambda()
         probe(" post-lambda")
+    if "ladder" in stages:
+        # round-4 production re-pin (VERDICT item 1): phased K x band
+        # grid on real lambda windows, warm + timed, stats printed
+        # (band -1 = auto policy, 0 = full rows)
+        _stage_lambda(((1, -1), (1, 0), (2, -1), (2, 0), (3, -1), (3, 0),
+                       (4, -1)))
+        probe(" post-ladder")
     if "w1000" in stages:
         stage_w1000()
         probe(" post-w1000")
