@@ -400,12 +400,24 @@ std::string myers_align(const uint8_t* q, int64_t n, const uint8_t* t,
   const int64_t absD = n > m ? n - m : m - n;
   int64_t k = absD + 128;
   int64_t dist;
+  // probe passes are score-only (no traceback store — that's pure memory
+  // churn for bands that will be re-run anyway)
   while (true) {
-    dist = myers_banded_pass(q, n, t, m, k, &st);
+    dist = myers_banded_pass(q, n, t, m, k, nullptr);
     if (dist <= k) break;
     if (k >= n + m) break;  // full width: result is exact by construction
     k = std::min<int64_t>(k * 2, n + m);
   }
+  // Traceback exactness: the tie checks below query neighbours of path
+  // cells, whose true scores are <= dist + 1.  Every such cell is computed
+  // EXACTLY (not band-edge overestimated) iff the band slack is >= dist + 1,
+  // i.e. k >= absD + 2*(dist + 1).  The single store pass runs at that
+  // width, so the greedy traceback is band-independent — the same path
+  // edlib's full-matrix traceback takes (its backward move priority is
+  // up, left, diagonal = order 3 here; reference call site
+  // src/overlap.cpp:205-224 uses edlibAlign NW+PATH).
+  k = std::min<int64_t>(absD + 2 * (dist + 1), n + m);
+  dist = myers_banded_pass(q, n, t, m, k, &st);
 
   // traceback from H[n][m]
   std::string ops;

@@ -386,18 +386,22 @@ class NativeAligner:
 
     algo: -1 = exact O(ND) wavefront; 0..5 = banded Myers bit-vector with
     traceback preference permutation (edlib-class; reference role:
-    src/overlap.cpp:205-224).  Default order 2 (up, diag, left) measured
-    best against the reference's golden edit distances (lambda fastq+PAF
-    ED 1329 vs golden 1312; every order and the O(ND) aligner land within
-    1329-1339 — the residual delta is POA tie semantics, not the aligner)
-    and cuts the lambda align phase ~3.5x vs the O(ND) path.  Override
-    with RACON_TPU_ALIGN_ALGO for experiments.
+    src/overlap.cpp:205-224).  Default order 3 (up, left, diag) is
+    edlib's exact backward tie priority, and since round 4 the traceback
+    is provably band-independent (myers_align re-passes at slack >=
+    dist+1), so order 3 reproduces edlib's alignment path bit-exactly
+    (gated by tests/test_align_greedy.py).  It is the only order with
+    ALL six reference goldens at-or-below the reference values
+    (2026-08-19 sweep: fastq+PAF 1309/1312, fasta+PAF 1553/1566,
+    w=1000 1284/1289, m1x1g1 1312/1321; SAM configs aligner-independent
+    at 1315/1317 and 1770 exact).  Override with RACON_TPU_ALIGN_ALGO
+    for experiments.
     """
 
     def __init__(self, num_threads: int = 1, algo: int = None):
         self.num_threads = max(1, num_threads)
         if algo is None:
-            algo = int(os.environ.get("RACON_TPU_ALIGN_ALGO", "2"))
+            algo = int(os.environ.get("RACON_TPU_ALIGN_ALGO", "3"))
         self.algo = algo
 
     def __call__(self, q: bytes, t: bytes) -> bytes:

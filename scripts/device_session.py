@@ -250,11 +250,11 @@ def stage_assist(K=2, cfgs=("0", "1")):
                   f"{ndiff} differing windows", flush=True)
 
 
-def stage_ed(wlen=500, expect=1273, stream=False, assist=False):
+def stage_ed(wlen=500, expect=1309, stream=False, assist=False):
     """End-to-end verify surface: polish lambda on the TPU engine and
-    edit-distance the contig against the truth (w=500 expect 1273 — the
-    pre-unstable-sort value was 1329, reference CPU golden 1312; w=1000
-    expect 1289 = exact reference golden).  stream=True runs the
+    edit-distance the contig against the truth (w=500 expect 1309, reference
+    CPU golden 1312; w=1000 expect 1284, reference golden 1289 — round-4
+    edlib tie order, rtlib.py).  stream=True runs the
     streamed align->consensus overlap (the CLI default); assist=True
     enables host-assist work stealing."""
     from racon_tpu.pipeline import PolisherType, create_polisher
@@ -340,6 +340,15 @@ if __name__ == "__main__":
         _stage_lambda(((1, -1), (1, 0), (2, -1), (2, 0), (3, -1), (3, 0),
                        (4, -1)))
         probe(" post-ladder")
+    if "rung4" in stages:
+        # round-4 K=4 unlock validation: per-chunk sub_l rungs + the
+        # input-block-aware SMEM model (batched.py/fused_chunk.py) let
+        # narrow-rung chunks run K=4 (auto band=3, the shape ab4n proved
+        # compiles) while sub_l=6 chunks stay K=3.  Expect k=4 in stats,
+        # no launch failures, bit-identity vs K=3, and >= 1.1x w/s.
+        # Also a bs=64 config: larger chunks amortize launch + collect.
+        _stage_lambda(((3, -1), (4, -1), (4, -1, 64)))
+        probe(" post-rung4")
     if "w1000" in stages:
         stage_w1000()
         probe(" post-w1000")
@@ -361,6 +370,6 @@ if __name__ == "__main__":
         stage_ed(stream=True, assist=False)
         probe(" post-edstream0")
     if "edw1000" in stages:
-        stage_ed(wlen=1000, expect=1289)
+        stage_ed(wlen=1000, expect=1284)
         probe(" post-edw1000")
     print("DONE", flush=True)

@@ -6,10 +6,16 @@ The reference pins exact edit distances for its CPU path
 
 Round-3 status: replicating the reference's unstable layer sort
 (src/window.cpp:85-86, rt_layer_sort) closed almost the whole gap —
-fasta+SAM and fastq+PAF w=1000 now match the reference EXACTLY (1770,
-1289); fastq+SAM is 2 ED better (1315 vs 1317); the PAF configs run
-through racon_tpu's own banded-Myers aligner and land BETTER than the
-reference (1273 vs 1312, 1486 vs 1566) except m1x1g1 (1336 vs 1321).
+fasta+SAM matches the reference EXACTLY (1770); fastq+SAM is 2 ED
+better (1315 vs 1317).
+
+Round-4 status: the banded-Myers traceback is now provably
+band-independent and defaults to edlib's exact backward tie priority
+(order 3 = up, left, diag; see rtlib.py / test_align_greedy.py), the
+only order with ALL six configs at-or-below the reference: fastq+PAF
+1309 (-3), fasta+PAF 1553 (-13), w=1000 1284 (-5), m1x1g1 1312 (-9).
+The residual deltas are the same consensus-side tie divergence seen on
+the aligner-independent fastq+SAM config (-2, beneficial).
 
 Reference goldens:  fastq+PAF 1312, fastq+SAM 1317, fasta+PAF 1566,
 fasta+SAM 1770, fastq+PAF w=1000 1289, fastq+PAF m1x1g1 1321.
@@ -67,9 +73,9 @@ def test_consensus_with_qualities_paf():
     dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz")
     assert len(dst) == 1
     ed = ed_vs_truth(dst[0])
-    assert ed == 1273          # racon_tpu pinned value (banded Myers host
-    #                            aligner, traceback order 2 — rtlib.py);
-    #                            39 ED BETTER than reference golden 1312
+    assert ed == 1309          # racon_tpu pinned value (banded Myers host
+    #                            aligner, edlib tie order 3 — rtlib.py);
+    #                            3 ED BETTER than reference golden 1312
     assert ed <= 1312          # at or better than reference golden 1312
 
 
@@ -87,7 +93,7 @@ def test_consensus_without_qualities_sam():
 def test_consensus_without_qualities_paf():
     dst = run_polish("sample_reads.fasta.gz", "sample_overlaps.paf.gz")
     ed = ed_vs_truth(dst[0])
-    assert ed == 1486          # 80 ED BETTER than reference golden 1566
+    assert ed == 1553          # 13 ED BETTER than reference golden 1566
     assert ed <= 1566
 
 
@@ -97,7 +103,8 @@ def test_consensus_larger_window():
     dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz",
                      window_length=1000)
     ed = ed_vs_truth(dst[0])
-    assert ed == 1289          # EXACT match of reference golden 1289
+    assert ed == 1284          # 5 ED BETTER than reference golden 1289
+    assert ed <= 1289
 
 
 @needs_data
@@ -106,10 +113,8 @@ def test_consensus_edit_distance_scores():
     dst = run_polish("sample_reads.fastq.gz", "sample_overlaps.paf.gz",
                      match=1, mismatch=-1, gap=-1)
     ed = ed_vs_truth(dst[0])
-    # The only config above the reference golden (1321); pure aligner tie
-    # divergence — the 2026-08-17 sweep over RACON_TPU_ALIGN_ALGO gave
-    # -1:1311 0:1334 1:1345 2:1336 3:1312 4:1283 5:1302, but order 2
-    # stays the default because it wins where it matters more
-    # (fastq+PAF 1273, w=1000 EXACT 1289; order 4 gives 1296/1300 there)
-    assert ed == 1336          # racon_tpu pinned (aligner tie divergence)
-    assert ed <= 1321 * 1.05   # within 5% of reference golden 1321
+    # Was the only config above the reference golden (1336 vs 1321) under
+    # the old order-2 default; the edlib tie order (3) with the exact-band
+    # traceback brings it below (2026-08-19 sweep in rtlib.py docstring)
+    assert ed == 1312          # racon_tpu pinned (edlib tie order 3)
+    assert ed <= 1321          # at or better than reference golden 1321
