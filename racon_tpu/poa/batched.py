@@ -80,15 +80,17 @@ class BatchedPOAEngine:
         self.batch_size = batch_size
         self.p_cap = p_cap
         if interleave is None:
-            interleave = int(os.environ.get("RACON_TPU_K", "3"))
+            interleave = int(os.environ.get("RACON_TPU_K", "4"))
         # K window streams per grid step share one stacked vector chain in
-        # the DP (fused_chunk.py dp_tail).  Default 3: measured 2.3x over
-        # K=1 per layer-step on real TPU (lambda 2026-08-18; K=2 was
-        # 1.44x), consensus bit-identical to K=1, fallback=0 with the
-        # auto-band.  Per-batch the scheduler clamps K to the SMEM budget
+        # the DP (fused_chunk.py dp_tail).  Default 4 (round 4): with the
+        # input-aware SMEM model and per-chunk sub_l rungs the production
+        # scheduler compiles and runs K=4 at lambda scale (sub_l=5,
+        # band=3: 46.5 w/s vs 43.6 at K=3, bit-identical, fallback=0,
+        # 2026-08-19); the per-rung clamp steps K down automatically
+        # wherever 4 streams exceed the budget (e.g. sub_l>=6 shapes).
+        # Per-batch the scheduler clamps K to the SMEM budget
         # (fused_chunk.smem_stream_bytes); the launch pads the batch up
-        # to a multiple of K, so K need not divide batch_size (K=3 at
-        # the default batch of 32 pads one inactive slot).
+        # to a multiple of K, so K need not divide batch_size.
         self.interleave = max(1, interleave)
         # banded DP row width in sublanes; "auto" (default) keeps full
         # rows while they fit VMEM at full node capacity and otherwise
@@ -233,7 +235,7 @@ class BatchedPOAEngine:
         if mode == "fused":
             from racon_tpu.poa import fused_chunk as FC
             sub_l = -(-(L + 1) // 128)
-            k_eff, band_eff, N = self._fused_plan(N0, p_cap, sub_l)
+            k_eff, band_eff, N = self._fused_plan(N0, p_cap, sub_l, L0)
             self.stats["k"] = k_eff
             self.stats["band"] = band_eff
             if not FC.check_capacity(N, self.match, self.mismatch, self.gap,
@@ -249,8 +251,19 @@ class BatchedPOAEngine:
         # (B, L, N) — independent of depth (layers are sliced dynamically
         # on device) — so no depth bucketing is needed at all; sorting by
         # depth and chunking consecutively makes every chunk run
-        # ~min(depth)==max(depth) layer steps with no idle layer slots
-        eligible.sort(key=lambda i: len(allw[i].sequences))
+        # ~min(depth)==max(depth) layer steps with no idle layer slots.
+        # Secondary key: max layer length — the DP row width L is chosen
+        # PER CHUNK from an even sub_l rung ladder (one long layer must
+        # not force every chunk to a wide rung: K interleave streams are
+        # SMEM-bounded and a wider rung can cost a whole stream, e.g.
+        # lambda sub_l=4 fits K=4 but sub_l=6 only K=3), so clustering
+        # similar lengths keeps most chunks on the narrow rung
+        if mode == "fused":
+            _wmax = {i: max(len(s) for s in allw[i].sequences[1:])
+                     for i in eligible}
+            eligible.sort(key=lambda i: (len(allw[i].sequences), _wmax[i]))
+        else:
+            eligible.sort(key=lambda i: len(allw[i].sequences))
 
         # Host-assist work stealing: while the device crunches a resident
         # chunk the host core is idle (one blocking RPC per chunk), so a
@@ -342,10 +355,36 @@ class BatchedPOAEngine:
             if not chunk:
                 break
             depth = max(len(allw[i].sequences) - 1 for i in chunk)
-            packed, k_eff, band_eff, N = self._launch_with_degrade(
-                chunk, allw, depth=depth, L=L, L0=L0, N=N, N0=N0,
-                t_cap=t_cap, mode=mode, p_cap=p_cap, sub_l=sub_l,
-                k_eff=k_eff, band_eff=band_eff)
+            L_c, t_cap_c, mode_c = L, t_cap, mode
+            sub_c, k_c, band_c, N_c = sub_l, k_eff, band_eff, N
+            if mode == "fused":
+                # per-chunk L rung: the narrowest even sub_l (>= 4) that
+                # holds the chunk's longest layer, independent of other
+                # chunks' lengths — narrow-rung chunks keep the full K
+                # interleave the SMEM budget allows them
+                from racon_tpu.poa import fused_chunk as FC
+                ml = max(_wmax[i] for i in chunk)
+                raw = -(-(ml + 1) // FC.LANE)        # sublanes needed
+                # integer rungs (floor 4): at lambda scale sub_l=5 is the
+                # difference between K=4 fitting SMEM (1,017 KB) and not
+                # (sub_l=6 K=4 = 1,044 KB > budget) — rounding rungs up
+                # to even values costs the 4th stream on most chunks
+                sub_c = min(max(4, raw), FC.MAX_SUB)
+                L_c = sub_c * FC.LANE - 1
+                k_c, band_c, N_c = self._fused_plan(N0, p_cap, sub_c, L0)
+                t_cap_c = N_c + L_c
+                self.stats["k"] = max(self.stats.get("k", 0), k_c)
+                self.stats["band"] = band_c
+                if not FC.check_capacity(N_c, self.match, self.mismatch,
+                                         self.gap, L_c, sub_c):
+                    mode_c = "xla"
+                    L_c, t_cap_c, N_c = L, N + L, N
+                    self.stats["degraded"] = (
+                        self.stats.get("degraded", 0) + 1)
+            packed, k_c, band_c, N_c = self._launch_with_degrade(
+                chunk, allw, depth=depth, L=L_c, L0=L0, N=N_c, N0=N0,
+                t_cap=t_cap_c, mode=mode_c, p_cap=p_cap, sub_l=sub_c,
+                k_eff=k_c, band_eff=band_c)
             in_flight.append((chunk, packed))
             while len(in_flight) > MAX_IN_FLIGHT:
                 c, p = in_flight.pop(0)
@@ -385,8 +424,8 @@ class BatchedPOAEngine:
     # launch planning
     # ------------------------------------------------------------------ #
 
-    def _fused_plan(self, N0: int, p_cap: int,
-                    sub_l: int) -> Tuple[int, int, int]:
+    def _fused_plan(self, N0: int, p_cap: int, sub_l: int,
+                    L0: int = 0) -> Tuple[int, int, int]:
         """(k_eff, band_eff, N) for one fused launch shape.
 
         Interleave streams are SMEM-bounded (each carries a private state
@@ -394,14 +433,16 @@ class BatchedPOAEngine:
         packing (fused_chunk cov+rep / letter pairs) keeps the table at
         24 padded rows for any p_cap in 5..12, so shrinking p_cap can no
         longer rescue K — the old p_cap=9 fallback (and its ~2% >9-pred
-        host-fallback tax) is gone.  _k_compile_cap remembers a K the
-        real Mosaic compiler rejected (the SMEM/VMEM budget model is an
-        estimate; e.g. K=4 at lambda scale passes the model but fails to
-        compile on-device, 2026-08-18) — never retry a K above it."""
+        host-fallback tax) is gone.  _k_compile_cap remembers, PER sub_l
+        rung, a K the real Mosaic compiler rejected (the SMEM/VMEM budget
+        model is an estimate) — never retry a K above it at that rung,
+        but a rejection at a wide rung must not cap narrower rungs that
+        genuinely fit more streams."""
         from racon_tpu.poa import fused_chunk as FC
         k_eff = min(self.interleave,
-                    getattr(self, "_k_compile_cap", self.interleave))
-        while (k_eff > 1 and FC.smem_stream_bytes(N0, p_cap, sub_l)
+                    getattr(self, "_k_compile_cap", {}).get(
+                        sub_l, self.interleave))
+        while (k_eff > 1 and FC.smem_stream_bytes(N0, p_cap, sub_l, L0)
                * k_eff > FC.SMEM_BUDGET):
             k_eff -= 1
         band_eff, N = self._band_plan(N0, p_cap, sub_l, k_eff)
@@ -480,8 +521,11 @@ class BatchedPOAEngine:
                     raise
                 k_eff -= 1
                 if not transient:
-                    # persist the cap only for genuine compile rejections
-                    self._k_compile_cap = k_eff
+                    # persist the cap only for genuine compile rejections,
+                    # keyed by the sub_l rung that failed
+                    if not hasattr(self, "_k_compile_cap"):
+                        self._k_compile_cap = {}
+                    self._k_compile_cap[sub_l] = k_eff
                 print("[racon_tpu::BatchedPOAEngine] chunk launch "
                       f"failed at K={k_eff + 1} "
                       f"(B={len(chunk)} D={depth} L={L} L0={L0} N={N} "

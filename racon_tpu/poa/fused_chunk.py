@@ -137,23 +137,32 @@ def s_rows(p_cap: int) -> int:
     sublane dim must be 8-aligned."""
     return -(-(R_PREDS + p_cap) // 8) * 8
 
-# Total SMEM scratch capacity per core.  Measured empirically (round 2):
-# allocations at 1.00 MB compile, above fail; keep a small reserve for the
-# double-buffered SMEM input blocks (metas/seq/wts).
-SMEM_BUDGET = (1 << 20) - (1 << 15)
+# Total SMEM capacity per core.  Measured empirically (round 2):
+# allocations at 1.00 MB compile, above fail; 16 KB margin covers Mosaic
+# per-buffer alignment padding.  smem_stream_bytes now counts the
+# double-buffered SMEM INPUT blocks too (they scale with sub_l and L0),
+# which is what the round-3 model missed: the production lambda shape
+# (sub_l=6, L0=500) put K=4 at ~1,044 KB real SMEM while the model saw
+# only the 963 KB scratch — the plain A/B at sub_l=4 (~991 KB) compiled
+# and the production launch failed (captured 2026-08-19).
+SMEM_BUDGET = (1 << 20) - (1 << 14)
 
 
-def smem_stream_bytes(N: int, p_cap: int, sub_l: int) -> int:
-    """SMEM scratch bytes one interleave stream needs (mirrors the
-    scratch_shapes list in polish_chunk): the packed state table plus the
-    per-rank scalar rows.  The scheduler clamps K so
-    K * smem_stream_bytes <= SMEM_BUDGET — exceeding it is a compile
+def smem_stream_bytes(N: int, p_cap: int, sub_l: int, L0: int = 0) -> int:
+    """SMEM bytes one interleave stream needs: the private scratch
+    (mirrors the scratch_shapes list in polish_chunk — packed state table
+    plus per-rank scalar rows) PLUS the stream's share of the
+    double-buffered SMEM input blocks (backbone/backbone_w/backbone_len/
+    metas/seq_s/wts_s in polish_chunk's in_specs).  The scheduler clamps
+    K so K * smem_stream_bytes <= SMEM_BUDGET — exceeding it is a compile
     failure on device (tpu_compile_helper exit 1)."""
     ncol = -(-(N + 1) // 128) * 128
     lp = sub_l * LANE
-    return 4 * (s_rows(p_cap) * ncol   # state table
-                + 4 * (N + 1)          # hs, tmp_ord, tmp_col, ob
-                + 9 * lp)              # pnode/ppos/ins_*/d_* rows
+    scratch = 4 * (s_rows(p_cap) * ncol   # state table
+                   + 4 * (N + 1)          # hs, tmp_ord, tmp_col, ob
+                   + 9 * lp)              # pnode/ppos/ins_*/d_* rows
+    inputs = 2 * (8 * L0 + 8 * lp + 36)   # double-buffered in blocks
+    return scratch + inputs
 
 
 def vmem_stream_fixed_bytes(N: int, p_cap: int) -> int:

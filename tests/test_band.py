@@ -181,10 +181,13 @@ def test_interleave_smem_policy(monkeypatch):
     # ample budget: K=4 fits at full p_cap
     run(4, 12)
     N, sub_l = captured["n_cap"], captured["sub_l"]
-    s12 = FC.smem_stream_bytes(N, 12, sub_l)
+    # the scheduler sizes streams with the input-block term (L0 = the
+    # actual max backbone length), so the budget thresholds below must too
+    L0 = max(len(w.sequences[0]) for w in windows)
+    s12 = FC.smem_stream_bytes(N, 12, sub_l, L0)
     # the 16-bit packing makes the p_cap=9 table the SAME size (both pad
     # to 24 rows) — the old p_cap-shrink rescue is structurally dead
-    assert FC.smem_stream_bytes(N, 9, sub_l) == s12
+    assert FC.smem_stream_bytes(N, 9, sub_l, L0) == s12
 
     # budget fits only 2 streams -> K clamps to 2 (must divide the batch
     # of 4) at full p_cap

@@ -246,7 +246,9 @@ def test_compile_error_degrades_k_and_recomputes_band(monkeypatch):
         [0], [], depth=4, L=256, L0=100, N=1024, N0=1024, t_cap=1280,
         mode="fused", p_cap=12, sub_l=3, k_eff=3, band_eff=0)
     assert packed == {"ok": True}
-    assert k == 2 and eng._k_compile_cap == 2
+    # the persisted cap is keyed by the sub_l rung that failed: a wide
+    # rung's rejection must not cap narrower rungs that fit more streams
+    assert k == 2 and eng._k_compile_cap == {3: 2}
     # the retry's band/N must come from _band_plan at the DEGRADED K,
     # not reuse the K=3-derived values
     want_band, want_N = eng._band_plan(1024, 12, 3, 2)
