@@ -28,8 +28,9 @@ def test_fragment_kc_ava_paf():
               PolisherType.kC, True)
     total = sum(len(d.data) for d in dst)
     assert len(dst) == 40                 # reference golden: 40
-    assert total == 401229                # racon_tpu pinned (ref 401246;
-    #                                       banded Myers host aligner)
+    assert total == 401236                # racon_tpu pinned (ref 401246;
+    #                                       banded Myers host aligner,
+    #                                       traceback order 3 = edlib)
 
 
 @needs_data
@@ -39,9 +40,9 @@ def test_fragment_kf_ava_paf_full():
               PolisherType.kF, False)
     total = sum(len(d.data) for d in dst)
     assert len(dst) == 236
-    assert total == 1657738               # racon_tpu pinned (ref 1658216;
-    #                                       banded Myers aligner + the
-    #                                       reference-replica layer sort)
+    assert total == 1657664               # racon_tpu pinned (ref 1658216;
+    #                                       banded Myers aligner order 3 +
+    #                                       the reference-replica layer sort)
     assert all(d.name.split(" ")[0].endswith("r") for d in dst)
 
 
@@ -53,7 +54,7 @@ def test_fragment_kf_ava_mhap_matches_paf():
     total = sum(len(d.data) for d in dst)
     # same property as the reference: MHAP and PAF inputs give identical
     # totals (racon_test.cpp:288-294 vs :252-258)
-    assert (len(dst), total) == (236, 1657738)
+    assert (len(dst), total) == (236, 1657664)
 
 
 @needs_data
@@ -63,6 +64,6 @@ def test_fragment_kf_ava_paf_fasta():
               PolisherType.kF, False)
     total = sum(len(d.data) for d in dst)
     assert len(dst) == 236
-    assert total == 1663064               # racon_tpu pinned (ref 1663982;
-    #                                       banded Myers aligner + the
-    #                                       reference-replica layer sort)
+    assert total == 1663254               # racon_tpu pinned (ref 1663982;
+    #                                       banded Myers aligner order 3 +
+    #                                       the reference-replica layer sort)
