@@ -42,6 +42,9 @@ path stays bit-reproducible on the host.
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -355,7 +358,17 @@ class PallasAligner:
         self.stats = {"device": 0, "fallback": 0}
 
     def align_batch(self, pairs):
-        """pairs: [(q bytes, t bytes)] -> [cigar bytes or None]."""
+        """pairs: [(q bytes, t bytes)] -> [cigar bytes or None].
+
+        Measured runtime gate (RACON_TPU_ALIGN_GATE=0 disables): after
+        the first (compile-paying) batch, one steady-state device batch
+        and one same-size host batch are timed; if the host is faster
+        per pair, the remaining pairs are left to the caller's host
+        path.  On tunnel-attached single-chip setups the device aligner
+        measured 17x slower than the host at genome scale
+        (BENCH_scale_r03_tpualign: 1825 s vs 103 s), so an unmeasured
+        --tpu-align must never be able to sink a run (reference CPU
+        fallback contract: src/cuda/cudaaligner.cpp:63-71)."""
         from racon_tpu.native import rtlib
 
         out = [None] * len(pairs)
@@ -368,9 +381,40 @@ class PallasAligner:
             band = int(mean_len * 0.1)
         sub = min(max(-(-band // LANE), 2), 16)
         self._sub = sub
-        for lo in range(0, len(todo), self.batch_size):
+        gate = (os.environ.get("RACON_TPU_ALIGN_GATE", "1") != "0"
+                and len(todo) > 4 * self.batch_size)
+        lo = 0
+        bi = 0
+        while lo < len(todo):
             idxs = todo[lo:lo + self.batch_size]
+            t0 = time.perf_counter()
             self._run([pairs[i] for i in idxs], idxs, out)
+            dt = time.perf_counter() - t0
+            lo += self.batch_size
+            bi += 1
+            if gate and bi == 2:
+                # batch 0 paid the compile; batch 1 is the steady-state
+                # device probe.  Host probe on the NEXT batch (its
+                # results are kept, so no work is wasted).
+                dev_pp = dt / max(len(idxs), 1)
+                h_idxs = todo[lo:lo + self.batch_size]
+                t0 = time.perf_counter()
+                h_cigars = rtlib.NativeAligner(self.num_threads).align_batch(
+                    [pairs[i] for i in h_idxs])
+                host_pp = ((time.perf_counter() - t0)
+                           / max(len(h_idxs), 1))
+                for i, c in zip(h_idxs, h_cigars):
+                    out[i] = c
+                lo += self.batch_size
+                if dev_pp > host_pp:
+                    n_left = len(todo) - lo
+                    print("[racon_tpu::PallasAligner] gate: device "
+                          f"{dev_pp * 1e3:.1f} ms/pair > host "
+                          f"{host_pp * 1e3:.1f} ms/pair — routing the "
+                          f"remaining {n_left} pairs to the host aligner",
+                          file=sys.stderr)
+                    self.stats["gated"] = n_left
+                    break
         self.stats["fallback"] += sum(1 for c in out if c is None)
         return out
 

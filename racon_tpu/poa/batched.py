@@ -123,6 +123,13 @@ class BatchedPOAEngine:
         self.devices = list(devices)
         self._next_device = 0
         self.progress = None   # optional callable(done_windows, total)
+        # device consensus (fused kernel phase 7): heaviest_bundle runs
+        # on the resident graph and only the consensus rows download —
+        # ~25x fewer bytes + 4 fewer RPCs per chunk, bit-identical
+        # (code-6 windows fall back to the host oracle).  A compile
+        # rejection degrades this off before K (see _launch_with_degrade).
+        self.device_consensus = (
+            os.environ.get("RACON_TPU_DEVICE_CONS", "1") != "0")
         self.stats = {"windows": 0, "device": 0, "fallback": 0, "trivial": 0}
 
     # ------------------------------------------------------------------ #
@@ -517,6 +524,17 @@ class BatchedPOAEngine:
                           "launch", file=sys.stderr)
                     time.sleep(2.0)
                     continue
+                if not transient and mode == "fused" and \
+                        self.device_consensus:
+                    # the phase-7 consensus code is the newest compile
+                    # surface: shed it before sacrificing interleave
+                    # streams (output is identical either way)
+                    self.device_consensus = False
+                    self.stats["cons_degraded"] = 1
+                    print("[racon_tpu::BatchedPOAEngine] chunk launch "
+                          f"failed ({type(e).__name__}); retrying with "
+                          "device consensus off", file=sys.stderr)
+                    continue
                 if k_eff <= 1 or mode != "fused":
                     raise
                 k_eff -= 1
@@ -624,16 +642,26 @@ class BatchedPOAEngine:
                 pad = np.zeros((Dp - D, Bp, seq.shape[2]), seq.dtype)
                 seq = np.concatenate([seq, pad + E.PAD_CODE], axis=0)
                 wts = np.concatenate([wts, np.zeros_like(pad)], axis=0)
-            seq_t, wts_t = FC.pack_layer_tiles(seq.astype(np.int32),
-                                               wts.astype(np.int32), sub_l)
+            # int8 tiles on the wire (the tunnel is bandwidth-limited;
+            # polish_chunk widens to int32 on device): 4x fewer upload
+            # bytes than the old astype(np.int32) host-side widening
+            seq_t, wts_t = FC.pack_layer_tiles(seq, wts, sub_l)
+            dev_cons = self.device_consensus
+            t_put0 = time.perf_counter()
             st, nr = FC.polish_chunk(
                 put(backbone), put(backbone_w), put(backbone_len),
                 put(metas), put(seq_t), put(wts_t), n_cap=N,
                 p_cap=p_cap, sub_l=sub_l, match=self.match,
                 mismatch=self.mismatch, gap=self.gap, t_cap=t_cap,
                 interpret=FC.INTERPRET, interleave=interleave,
-                band_sub=band_sub)
-            packed = FC.pack_for_download_chunk(st, nr, p_cap=p_cap)
+                band_sub=band_sub, consensus=dev_cons)
+            packed = (FC.pack_consensus_chunk(st) if dev_cons else
+                      FC.pack_for_download_chunk(st, nr, p_cap=p_cap))
+            # upload + dispatch time (device_put transfers + the jitted
+            # launch), separated from host encode/pack — the two need
+            # different fixes when they dominate (wire bytes vs Python)
+            self.stats["t_put"] = (self.stats.get("t_put", 0.0)
+                                   + time.perf_counter() - t_put0)
         else:
             state = E.init_graphs(put(backbone), put(backbone_w),
                                   put(backbone_len), N, self.p_cap)
@@ -661,29 +689,33 @@ class BatchedPOAEngine:
         packed = {k: np.asarray(v) for k, v in packed.items()}
         t1 = time.perf_counter()
         self.stats["t_wait"] = self.stats.get("t_wait", 0.0) + t1 - t0
+        if "consfused" in packed:
+            from racon_tpu.poa import fused_chunk as FC
+            packed = FC.unpack_consensus_chunk(packed["consfused"])
         failed = packed["failed"]
         for code in np.asarray(packed.get("failed_code", failed))[
                 :len(chunk)]:
             if code:
                 key = {1: "fail_nodes", 2: "fail_preds", 3: "fail_tb",
-                       4: "fail_sat", 5: "fail_band"}.get(int(code),
-                                                          "fail_other")
+                       4: "fail_sat", 5: "fail_band",
+                       6: "fail_cons"}.get(int(code), "fail_other")
                 self.stats[key] = self.stats.get(key, 0) + 1
         n_nodes = packed["n_nodes"]
         Bp = failed.shape[0]
-
-        skip = np.ones(Bp, np.uint8)
-        for b, i in enumerate(chunk):
-            if not failed[b]:
-                skip[b] = 0
+        dev_cons = "cons" in packed
 
         native = None
-        try:
-            from racon_tpu.native import rtlib
-            native = rtlib.consensus_batch(packed, skip,
-                                           num_threads=self.num_threads)
-        except Exception:  # pragma: no cover - no compiler available
-            pass
+        if not dev_cons:
+            skip = np.ones(Bp, np.uint8)
+            for b, i in enumerate(chunk):
+                if not failed[b]:
+                    skip[b] = 0
+            try:
+                from racon_tpu.native import rtlib
+                native = rtlib.consensus_batch(packed, skip,
+                                               num_threads=self.num_threads)
+            except Exception:  # pragma: no cover - no compiler available
+                pass
 
         if self.progress is not None:
             done = (self.stats["device"] + self.stats["trivial"]
@@ -693,7 +725,15 @@ class BatchedPOAEngine:
         for b, i in enumerate(chunk):
             if failed[b]:
                 continue  # -> oracle fallback
-            if native is not None and native[b] is not None:
+            if dev_cons:
+                # kernel phase 7 lays the path out back-to-front ending
+                # at column N: forward consensus = columns [Np1-len, Np1)
+                Np1 = packed["cons"].shape[1]
+                ln = int(packed["cons_len"][b])
+                ccodes = packed["cons"][b, Np1 - ln:Np1]
+                ccov = packed["cons_cov"][b, Np1 - ln:Np1].astype(np.int32)
+                consensus = decode(ccodes)
+            elif native is not None and native[b] is not None:
                 consensus, ccov = native[b]
             else:
                 ccodes, ccov = consensus_from_arrays(

@@ -262,7 +262,8 @@ class _PS:
 
 def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
                       mismatch: int, gap: int, stop_phase: int = 9,
-                      K: int = 1, grid_d: int = 0, band_sub: int = 0):
+                      K: int = 1, grid_d: int = 0, band_sub: int = 0,
+                      consensus: bool = False):
     """Kernel body: grid (B//K, D); one call builds every window's POA
     graph, processing K windows per grid step with their serial phases
     INTERLEAVED (every per-window loop — DP over ranks, traceback, graph
@@ -1087,6 +1088,274 @@ def make_chunk_kernel(N: int, P: int, sub_l: int, t_cap: int, match: int,
             st[k, R_MISC, 0] = n_nodes2[k]
             st[k, R_MISC, 1] = jnp.where(act0[k], failed_u[k], failed0[k])
 
+        # ---- phase 7: heaviest-bundle consensus (last grid step only) --- #
+        # Replicates consensus_host.heaviest_bundle BIT-EXACTLY on the
+        # resident graph, so the host downloads ~0.2 MB of consensus rows
+        # per chunk instead of ~4.6 MB of graph arrays plus 7 transfer
+        # RPCs (the device tunnel is bandwidth- and RTT-limited; reference
+        # analog: cudapoa returns the consensus string, not the graph —
+        # src/cuda/cudabatch.cpp get_consensus).  Score/pred-choice arrays
+        # reuse the per-stream hs/tmp_ord/tmp_col scratch (free after
+        # phase 6); the consensus bases/coverages overwrite the R_LETN /
+        # R_LETN+1 state rows (the letter map is dead once no further
+        # layer will be added — everything pack_for_download_chunk reads
+        # stays intact).  Windows whose path score could overflow int32,
+        # or whose branch completion exceeds the iteration cap, fail with
+        # code 6 to the host oracle.
+        if consensus and stop_phase >= 6:
+            OVF = jnp.int32(1 << 30)
+            BC_CAP = 64
+
+            def _phase7():
+                n_f = [st[k, R_MISC, 0] for k in KS]
+                ok_f = [st[k, R_MISC, 1] == 0 for k in KS]
+                max_n = jnp.where(ok_f[0], n_f[0], 0)
+                for k in KS[1:]:
+                    max_n = jnp.maximum(max_n,
+                                        jnp.where(ok_f[k], n_f[k], 0))
+
+                def best_pred(k, v, cnt, sread, skip_neg):
+                    """Max-weight in-edge of node v with the host tie
+                    rule (host: heaviest_bundle slot loop — ties go to
+                    the candidate whose pred score is >= the current
+                    choice's, i.e. the LAST such edge in slot order).
+                    sread(pid) reads the score array of this pass;
+                    skip_neg adds the branch-completion `score == -1 ->
+                    skip` guard.  Returns (total, choice)."""
+                    def consider(s_v, ch, s_ch, pid_raw, w, valid):
+                        pid = jnp.clip(pid_raw, 0, N)
+                        sp = sread(pid)
+                        if skip_neg:
+                            valid = valid & (sp != -1)
+                        better = valid & (
+                            (s_v < w)
+                            | ((s_v == w) & (ch >= 0) & (s_ch <= sp)))
+                        return (jnp.where(better, w, s_v),
+                                jnp.where(better, pid, ch),
+                                jnp.where(better, sp, s_ch))
+
+                    acc = (jnp.int32(-1), jnp.int32(-1), jnp.int32(-1))
+                    acc = consider(*acc, st[k, R_P0, v], st[k, R_PW0, v],
+                                   cnt > 0)
+                    acc = consider(*acc, st[k, R_P1, v], st[k, R_PW1, v],
+                                   cnt > 1)
+
+                    def deep(acc):
+                        row = noderow[k, v]
+                        for p in range(2, P):
+                            w = _extract_lane(row, jnp.int32(LN_PREDW + p),
+                                              NR_LANE)
+                            acc = consider(*acc, st[k, R_PREDS + p, v], w,
+                                           cnt > p)
+                        return acc
+
+                    s_v, ch, s_ch = jax.lax.cond(cnt > 2, deep,
+                                                 lambda a: a, acc)
+                    total = jnp.where(ch >= 0, s_v + s_ch, s_v)
+                    return total, ch
+
+                # pass 1: scores + pred choice in rank order (scores in
+                # hs, choice in tmp_col — both node-indexed); track the
+                # best-scoring node (strictly-greater replaces: earliest
+                # rank wins ties, like the host loop)
+                def score_body(r, carry):
+                    out = []
+                    for k in KS:
+                        mx_v, mx_s, ov = carry[k]
+                        live = ok_f[k] & (r < n_f[k])
+                        v = jnp.clip(st[k, R_ORDER, jnp.minimum(r, N)],
+                                     0, N)
+                        cnt = jnp.where(live, st[k, R_CNT, v], 0)
+                        total, ch = best_pred(k, v, cnt,
+                                              lambda p, k=k: hs[k, p],
+                                              False)
+
+                        @pl.when(live)
+                        def _(k=k, v=v, total=total, ch=ch):
+                            hs[k, v] = total
+                            tmp_col[k, v] = ch
+
+                        ov2 = ov | (live & (total > OVF))
+                        bet = live & ((mx_v < 0) | (total > mx_s))
+                        out.append((jnp.where(bet, v, mx_v),
+                                    jnp.where(bet, total, mx_s), ov2))
+                    return tuple(out)
+
+                sc = jax.lax.fori_loop(
+                    0, max_n, score_body,
+                    tuple((jnp.int32(-1), jnp.int32(-1), jnp.int32(0) > 0)
+                          for _ in KS))
+
+                # branch completion: while max_v has successors, restart
+                # the scan from rank(max_v)+1 with the other in-edges of
+                # those successors invalidated (host heaviest_bundle
+                # while-loop, replicated pass for pass).  scores_bc lives
+                # in tmp_ord; index N is the masked-write dump slot.
+                def bc_cond(c):
+                    alive = c[0][2]
+                    for k in KS[1:]:
+                        alive = alive | c[k][2]
+                    return alive
+
+                def bc_body(c):
+                    r0 = [jnp.clip(jnp.where(
+                        c[k][2], st[k, R_RANK, jnp.clip(c[k][0], 0, N)],
+                        BIG_RANK), 0, N) for k in KS]
+
+                    def copy_body(v, _):
+                        for k in KS:
+                            idx = jnp.where(c[k][2] & (v <= n_f[k]), v, N)
+                            tmp_ord[k, idx] = hs[k, idx]
+                        return 0
+
+                    jax.lax.fori_loop(0, max_n + 1, copy_body, 0)
+
+                    # pass A: find successors of max_v; invalidate the
+                    # OTHER in-edges of each (host: for h in succs[max_v]:
+                    # for p in preds[h], p != max_v -> scores_bc[p] = -1)
+                    def inval_body(i, found):
+                        out = []
+                        for k in KS:
+                            mv = c[k][0]
+                            rr = jnp.minimum(r0[k] + 1 + i, N)
+                            live = c[k][2] & (r0[k] + 1 + i < n_f[k])
+                            h = jnp.clip(st[k, R_ORDER, rr], 0, N)
+                            cnt = jnp.where(live, st[k, R_CNT, h], 0)
+                            pids = [st[k, R_P0, h], st[k, R_P1, h]] + [
+                                st[k, R_PREDS + p, h] for p in range(2, P)]
+                            is_succ = jnp.int32(0) > 0
+                            for p in range(P):
+                                is_succ = is_succ | ((cnt > p)
+                                                     & (pids[p] == mv))
+                            for p in range(P):
+                                cond = (live & is_succ & (cnt > p)
+                                        & (pids[p] != mv))
+                                idx = jnp.where(
+                                    cond, jnp.clip(pids[p], 0, N), N)
+                                tmp_ord[k, idx] = jnp.int32(-1)
+                            out.append(found[k] | (live & is_succ))
+                        return tuple(out)
+
+                    found = jax.lax.fori_loop(
+                        0, max_n, inval_body,
+                        tuple(jnp.int32(0) > 0 for _ in KS))
+
+                    # pass B (only when a successor exists): rescan ranks
+                    # r0+1.. against scores_bc, invalid preds skipped;
+                    # track best2 (strict > : earliest rank wins ties)
+                    def resc_body(i, carry):
+                        out = []
+                        for k in KS:
+                            b2_v, b2_s, ov = carry[k]
+                            rr = jnp.minimum(r0[k] + 1 + i, N)
+                            live = (c[k][2] & found[k]
+                                    & (r0[k] + 1 + i < n_f[k]))
+                            v = jnp.clip(st[k, R_ORDER, rr], 0, N)
+                            cnt = jnp.where(live, st[k, R_CNT, v], 0)
+                            total, ch = best_pred(
+                                k, v, cnt, lambda p, k=k: tmp_ord[k, p],
+                                True)
+                            idx = jnp.where(live, v, N)
+                            tmp_ord[k, idx] = jnp.where(live, total, -1)
+                            tmp_col[k, idx] = jnp.where(live, ch, -1)
+                            ov2 = ov | (live & (total > OVF))
+                            bet = live & (b2_s < total)
+                            out.append((jnp.where(bet, v, b2_v),
+                                        jnp.where(bet, total, b2_s), ov2))
+                        return tuple(out)
+
+                    resc = jax.lax.fori_loop(
+                        0, max_n, resc_body,
+                        tuple((jnp.int32(-1), jnp.int32(-1), c[k][3])
+                              for k in KS))
+
+                    # commit scores_bc -> scores for continuing windows
+                    commit = [c[k][2] & found[k] & (resc[k][0] >= 0)
+                              for k in KS]
+
+                    def commit_body(v, _):
+                        for k in KS:
+                            idx = jnp.where(commit[k] & (v <= n_f[k]),
+                                            v, N)
+                            hs[k, idx] = tmp_ord[k, idx]
+                        return 0
+
+                    jax.lax.fori_loop(0, max_n + 1, commit_body, 0)
+
+                    out = []
+                    for k in KS:
+                        mv, it, live, ov = c[k]
+                        capped = commit[k] & (it + 1 >= BC_CAP)
+                        out.append((
+                            jnp.where(commit[k], resc[k][0], mv),
+                            it + 1,
+                            commit[k] & ~capped,
+                            ov | resc[k][2] | capped))
+                    return tuple(out)
+
+                bc = jax.lax.while_loop(
+                    bc_cond, bc_body,
+                    tuple((sc[k][0], jnp.int32(0),
+                           ok_f[k] & ~sc[k][2] & (sc[k][0] >= 0),
+                           sc[k][2]) for k in KS))
+                mvf = [bc[k][0] for k in KS]
+                bad = [bc[k][3] | (mvf[k] < 0) for k in KS]
+                do_bt = [ok_f[k] & ~bad[k] for k in KS]
+
+                # backtrack: walk pred_choice from max_v, writing bases
+                # and coverages back-to-front so the consensus ends at
+                # column N (host reverses the path; here the path is laid
+                # out reversed in place — forward order = rows
+                # [N-len+1 .. N])
+                def bt_cond(c):
+                    alive = c[1][0][2] == 0
+                    for k in KS[1:]:
+                        alive = alive | (c[1][k][2] == 0)
+                    return alive & (c[0] < N + 2)
+
+                def bt_body(c):
+                    g, states = c
+                    out = []
+                    for k in KS:
+                        v, t, done = states[k]
+                        live = done == 0
+                        vc = jnp.clip(v, 0, N)
+                        pos = jnp.where(live, jnp.clip(N - t, 0, N), N)
+
+                        @pl.when(live)
+                        def _(k=k, vc=vc, pos=pos):
+                            st[k, R_LETN, pos] = st[k, R_CODES, vc]
+                            st[k, R_LETN + 1, pos] = \
+                                st[k, R_CVREP, vc] & 0xFFFF
+
+                        nxt = tmp_col[k, vc]
+                        out.append((jnp.where(live, nxt, v),
+                                    t + jnp.where(live, 1, 0),
+                                    jnp.where(live & (nxt < 0), 1, done)))
+                    return (g + 1, tuple(out))
+
+                _, bt = jax.lax.while_loop(
+                    bt_cond, bt_body,
+                    (jnp.int32(0),
+                     tuple((jnp.where(do_bt[k], mvf[k], -1), jnp.int32(0),
+                            jnp.where(do_bt[k], 0, 1).astype(jnp.int32))
+                           for k in KS)))
+
+                for k in KS:
+                    # a backtrack that never reached the source (pred
+                    # cycle through corrupt state) is as bad as overflow
+                    incomplete = do_bt[k] & (bt[k][2] == 0)
+                    st[k, R_MISC, 2] = jnp.where(
+                        do_bt[k] & ~incomplete, bt[k][1], 0)
+
+                    @pl.when(ok_f[k] & (bad[k] | incomplete))
+                    def _(k=k):
+                        st[k, R_MISC, 1] = jnp.int32(6)
+
+            @pl.when(d_id == grid_d - 1)
+            def _():
+                _phase7()
+
         # ---- flush: state scratch -> VMEM output on the last layer ------ #
         # The working table is SMEM SCRATCH (persistent across the whole
         # grid, single-buffered) rather than an SMEM output block (which
@@ -1130,9 +1399,12 @@ def pack_layer_tiles(seq: np.ndarray, wts: np.ndarray, sub_l: int):
     D, B, L = seq.shape
     LP = sub_l * LANE
     assert L + 1 <= LP, f"layer length {L} exceeds row cap {LP - 1}"
-    seq_t = np.full((D, B, LP), PAD_CODE, np.int32)
+    # dtype follows the input: production (batched.py) packs int8 tiles —
+    # 4x fewer upload bytes through the tunnel; polish_chunk widens to
+    # int32 on device
+    seq_t = np.full((D, B, LP), PAD_CODE, seq.dtype)
     seq_t[:, :, 1:L + 1] = seq
-    wts_t = np.zeros((D, B, LP), np.int32)
+    wts_t = np.zeros((D, B, LP), wts.dtype)
     wts_t[:, :, 1:L + 1] = wts
     return (seq_t.reshape(D, B, sub_l, LANE),
             wts_t.reshape(D, B, sub_l, LANE))
@@ -1140,12 +1412,13 @@ def pack_layer_tiles(seq: np.ndarray, wts: np.ndarray, sub_l: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "n_cap", "p_cap", "sub_l", "match", "mismatch", "gap", "t_cap",
-    "interpret", "stop_phase", "interleave", "band_sub"))
+    "interpret", "stop_phase", "interleave", "band_sub", "consensus"))
 def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
                  n_cap: int, p_cap: int, sub_l: int, match: int,
                  mismatch: int, gap: int, t_cap: int,
                  interpret: bool = False, stop_phase: int = 9,
-                 interleave: int = 1, band_sub: int = 0):
+                 interleave: int = 1, band_sub: int = 0,
+                 consensus: bool = False):
     """Build every window's POA graph for one chunk in a single kernel.
 
     backbone:     [B, L0] i32 codes (PAD beyond backbone_len)
@@ -1164,6 +1437,14 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
     D, B = metas.shape[0], metas.shape[1]
     K = interleave
     assert B % K == 0, f"B={B} not divisible by interleave={K}"
+    # narrow upload dtypes: the device tunnel is bandwidth-limited and the
+    # layer tiles dominate upload bytes (codes <= PAD_CODE=7, weights =
+    # phred-33 <= 93 both fit int8 — 4x fewer bytes on the wire); the
+    # kernel consumes int32, so widen ON DEVICE inside this jit
+    seq_t = seq_t.astype(jnp.int32)
+    wts_t = wts_t.astype(jnp.int32)
+    backbone = backbone.astype(jnp.int32)
+    backbone_w = backbone_w.astype(jnp.int32)
     N = n_cap
     Np1 = N + 1
     # the per-stream state flush DMAs into a [k] slice of the VMEM output
@@ -1175,7 +1456,7 @@ def polish_chunk(backbone, backbone_w, backbone_len, metas, seq_t, wts_t,
     BS = band_sub if 0 < band_sub < sub_l else sub_l
     kernel = make_chunk_kernel(N, p_cap, sub_l, t_cap, match, mismatch, gap,
                                stop_phase=stop_phase, K=K, grid_d=D,
-                               band_sub=band_sub)
+                               band_sub=band_sub, consensus=consensus)
     metas = metas.reshape(D, B, 1, 8)
     seq_s = seq_t.reshape(D, B, 1, LP)
     wts_s = wts_t.reshape(D, B, 1, LP)
@@ -1260,6 +1541,44 @@ def pack_for_download_chunk(state, noderow, p_cap: int):
         n_nodes=state[:, R_MISC, 0],
         failed=state[:, R_MISC, 1] > 0,
         failed_code=state[:, R_MISC, 1],
+    )
+
+
+@jax.jit
+def pack_consensus_chunk(state):
+    """Download pack for consensus-on-device chunks (polish_chunk with
+    consensus=True): only the consensus rows leave the device — ~25x
+    fewer bytes than the full-graph download, and as ONE fused int32
+    array = ONE transfer RPC (the device tunnel charges ~27 ms per RPC,
+    which dominates at these sizes; reference analog: cudapoa downloads
+    the consensus string, not the graph — src/cuda/cudabatch.cpp
+    get_consensus).  Layout per window b (row length Np1 + 4):
+      cols [0, Np1): (cov << 8) | base_code   (phase 7 lays the path
+          out back-to-front: forward consensus = cols
+          [Np1 - len .. Np1) )
+      col Np1 + 0: cons_len;  +1: n_nodes;  +2: failed_code
+    The host splits it with unpack_consensus_chunk."""
+    cov_code = ((state[:, R_LETN + 1, :] & 0xFFFF) << 8) | \
+        (state[:, R_LETN, :] & 0xFF)
+    meta = jnp.stack([state[:, R_MISC, 2], state[:, R_MISC, 0],
+                      state[:, R_MISC, 1],
+                      jnp.zeros_like(state[:, R_MISC, 0])], axis=1)
+    return dict(consfused=jnp.concatenate([cov_code, meta], axis=1))
+
+
+def unpack_consensus_chunk(fused: np.ndarray):
+    """Host-side split of pack_consensus_chunk's fused array into the
+    collect dict (cons int8, cons_cov int32, cons_len, n_nodes,
+    failed/failed_code)."""
+    fused = np.asarray(fused)
+    body, meta = fused[:, :-4], fused[:, -4:]
+    return dict(
+        cons=(body & 0xFF).astype(np.int8),
+        cons_cov=(body >> 8).astype(np.int32),
+        cons_len=meta[:, 0],
+        n_nodes=meta[:, 1],
+        failed=meta[:, 2] > 0,
+        failed_code=meta[:, 2],
     )
 
 

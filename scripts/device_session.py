@@ -128,6 +128,137 @@ def stage_phases(ks=(1, 2), D=22, reps=3, N=1791, P=12):
             prev = dt
 
 
+def stage_xfer():
+    """Tunnel transfer microbenchmark: upload/download bandwidth and
+    per-RPC latency — sizes the t_pack (upload) and t_wait (download)
+    sinks seen at genome scale (BENCH_scale_r03: t_pack 249 s for ~3 GB
+    of int32 layer tiles; t_wait 598 s).  Decides whether int8 uploads
+    and in-kernel consensus (download shrink) are the right levers."""
+    import jax
+
+    dev = jax.devices()[0]
+
+    def up(arr, reps=3):
+        # time device_put + forced materialization (a consuming op whose
+        # scalar result is read back; block_until_ready under-reports
+        # through the tunnel)
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            xd = jax.device_put(arr, dev)
+            _ = float(np.asarray(jnp.sum(xd[:1].astype(jnp.int32))))
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    def down(make_xd, reps=3):
+        # jax Arrays cache the host copy after the first np.asarray, so
+        # each rep needs a FRESH computed array
+        ts = []
+        for _ in range(reps):
+            xd = make_xd()
+            t0 = time.time()
+            _ = np.asarray(xd)
+            ts.append(time.time() - t0)
+        return min(ts)
+
+    # production chunk shapes: tiles (D=32, B=32, sub_l=5, 128)
+    tile32 = np.random.randint(0, 5, (32, 32, 5, 128)).astype(np.int32)
+    tile8 = tile32.astype(np.int8)
+    for name, arr in (("tile_i32_10.5MB", tile32), ("tile_i8_2.6MB", tile8),
+                      ("small_4KB", np.zeros((32, 32), np.int32)),
+                      ("mid_1MB", np.zeros((256, 1024), np.int32))):
+        dt = up(arr)
+        mb = arr.nbytes / 1e6
+        print(f"[xfer] upload {name}: {dt * 1e3:8.1f} ms "
+              f"({mb / dt:6.1f} MB/s incl. readback RTT)", flush=True)
+
+    # downloads at the production collect sizes.  The array must be a
+    # device COMPUTATION output: device_put from numpy keeps the host
+    # buffer alive and np.asarray returns it without any transfer (the
+    # first cut of this stage measured 360 GB/s "downloads" that way).
+    bump = jax.jit(lambda a: a + 1)
+    for name, arr in (
+            ("pred_i16_1.4MB", np.zeros((32, 1793, 12), np.int16)),
+            ("predw_i32_2.8MB", np.zeros((32, 1793, 12), np.int32)),
+            ("row_i16_115KB", np.zeros((32, 1793), np.int16)),
+            ("tiny_4KB", np.zeros((32, 32), np.int32)),
+            ("cons_i8_57KB", np.zeros((32, 1793), np.int8))):
+        base = jax.device_put(jnp.asarray(arr), dev)
+
+        def make_xd(base=base):
+            xd = bump(base)
+            _ = float(np.asarray(jnp.sum(xd[:1].astype(jnp.int32))))
+            return xd
+
+        dt = down(make_xd)
+        mb = arr.nbytes / 1e6
+        print(f"[xfer] download {name}: {dt * 1e3:8.1f} ms "
+              f"({mb / dt:6.1f} MB/s)", flush=True)
+
+
+def stage_collect(K=4, D=22, N=1791, P=12, B=32):
+    """Time the REAL per-chunk cycle at production shapes: launch (upload
+    + dispatch), device compute, and the collect download of the packed
+    graph arrays — the decomposition bench_scale's t_wait hides."""
+    from racon_tpu.poa import engine as E
+    from racon_tpu.poa import fused_chunk as FC
+    from tests.test_fused_chunk import build_chunk_inputs, random_problem
+
+    L0, L = 500, 639
+    sub_l = -(-(L + 1) // 128)
+    t_cap = N + L
+    state0, layers = random_problem(B, L0, L, D, N, P, seed=0, partial=False)
+    codes0 = np.asarray(state0.codes)
+    blen = np.asarray(state0.n_nodes)
+    bb = codes0[:, :L0].astype(np.int32)
+    rng = np.random.RandomState(99)
+    bw = rng.randint(1, 50, size=(B, L0)).astype(np.int32)
+    for b in range(B):
+        bb[b, blen[b]:] = E.PAD_CODE
+        bw[b, blen[b]:] = 0
+    metas, seq_t, wts_t = build_chunk_inputs(layers, sub_l)
+    seq8 = np.asarray(seq_t, np.int8)
+    wts8 = np.asarray(wts_t, np.int8)
+    kw = dict(n_cap=N, p_cap=P, sub_l=sub_l, match=3, mismatch=-5, gap=-4,
+              t_cap=t_cap, interleave=K)
+    host = (np.asarray(bb), np.asarray(bw), np.asarray(blen),
+            np.asarray(metas), seq8, wts8)
+    def pack(st, nr, cons):
+        return (FC.pack_consensus_chunk(st) if cons else
+                FC.pack_for_download_chunk(st, nr, p_cap=P))
+
+    for cons in (False, True):
+        # warm compile
+        ar = tuple(jnp.asarray(a) for a in host)
+        st, nr = FC.polish_chunk(*ar, consensus=cons, **kw)
+        packed = pack(st, nr, cons)
+        _ = {k: np.asarray(v) for k, v in packed.items()}
+        for rep in range(3):
+            t0 = time.time()
+            ar = tuple(jnp.asarray(a) for a in host)   # upload (async-ish)
+            st, nr = FC.polish_chunk(*ar, consensus=cons, **kw)  # dispatch
+            packed = pack(st, nr, cons)
+            t1 = time.time()
+            out = {k: np.asarray(v) for k, v in packed.items()}  # wait+down
+            t2 = time.time()
+            nbytes = sum(v.nbytes for v in out.values())
+            print(f"[collect] K={K} cons={int(cons)} rep{rep}: "
+                  f"launch {t1 - t0:6.3f}s, "
+                  f"collect {t2 - t1:6.3f}s ({nbytes / 1e6:.1f} MB down), "
+                  f"cycle {t2 - t0:6.3f}s "
+                  f"failed={int(np.asarray(out['failed']).sum())}",
+                  flush=True)
+            # collect split: which downloads cost what (per-RPC latency
+            # vs bandwidth)
+            st2, nr2 = FC.polish_chunk(*ar, consensus=cons, **kw)
+            packed2 = pack(st2, nr2, cons)
+            for k, v in packed2.items():
+                t0 = time.time()
+                a = np.asarray(v)
+                print(f"[collect]   {k:12s} {a.nbytes / 1e3:8.1f} KB "
+                      f"{(time.time() - t0) * 1e3:8.1f} ms", flush=True)
+
+
 def _make_lambda_polisher(wlen=500):
     from racon_tpu.pipeline import PolisherType, create_polisher
     D = "/root/reference/test/data"
@@ -250,6 +381,49 @@ def stage_assist(K=2, cfgs=("0", "1")):
                   f"{ndiff} differing windows", flush=True)
 
 
+def stage_cons(K=4, cfgs=("0", "1")):
+    """A/B device consensus: graph download + host heaviest_bundle vs
+    kernel phase 7 + consensus-rows-only download
+    (RACON_TPU_DEVICE_CONS).  Bit-compare + steady-state w/s + failure
+    stats (code 6 = consensus overflow/cap fallback)."""
+    from racon_tpu.poa.batched import BatchedPOAEngine
+    p = _make_lambda_polisher()
+    windows = p.windows
+    print(f"[cons] {len(windows)} windows, K={K}", flush=True)
+    ref = None
+    old = os.environ.get("RACON_TPU_DEVICE_CONS")
+    try:
+        for cons in cfgs:
+            os.environ["RACON_TPU_DEVICE_CONS"] = cons
+            try:
+                eng = BatchedPOAEngine(5, -4, -8, num_threads=4,
+                                       interleave=K)
+                t0 = time.time()
+                res = eng.polish_windows(windows, p.trim)
+                warm = time.time() - t0
+                t0 = time.time()
+                res = eng.polish_windows(windows, p.trim)
+                dt = time.time() - t0
+            except Exception as e:
+                print(f"[cons] cons={cons}: ERROR "
+                      f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+                continue
+            print(f"[cons] cons={cons}: warm={warm:.1f}s timed={dt:.2f}s "
+                  f"{len(windows) / dt:.1f} w/s stats={eng.stats}",
+                  flush=True)
+            if ref is None:
+                ref = res
+            else:
+                ndiff = sum(1 for a, b in zip(ref, res) if a != b)
+                print(f"[cons] cons={cons} vs base consensus: "
+                      f"{ndiff} differing windows", flush=True)
+    finally:
+        if old is None:
+            os.environ.pop("RACON_TPU_DEVICE_CONS", None)
+        else:
+            os.environ["RACON_TPU_DEVICE_CONS"] = old
+
+
 def stage_ed(wlen=500, expect=1309, stream=False, assist=False):
     """End-to-end verify surface: polish lambda on the TPU engine and
     edit-distance the contig against the truth (w=500 expect 1309, reference
@@ -292,6 +466,12 @@ if __name__ == "__main__":
     # flips host assist on explicitly for its own A/B
     os.environ["RACON_TPU_HOST_ASSIST"] = "0"
     probe()
+    if "xfer" in stages:
+        stage_xfer()
+        probe(" post-xfer")
+    if "collect" in stages:
+        stage_collect()
+        probe(" post-collect")
     if "ab" in stages:
         stage_ab()
         probe(" post-ab")
@@ -358,6 +538,9 @@ if __name__ == "__main__":
     if "assist4" in stages:
         stage_assist(K=4)
         probe(" post-assist4")
+    if "cons" in stages:
+        stage_cons()
+        probe(" post-cons")
     if "ed" in stages:
         stage_ed()
         probe(" post-ed")

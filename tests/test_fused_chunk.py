@@ -351,3 +351,176 @@ class TestFusedChunkEngine:
                                                       trim=False)
             assert polished == ref_polished
             assert cons == ref_cons
+
+
+# ----------------------------------------------------------------------- #
+# in-kernel consensus (phase 7): heaviest_bundle on the resident graph
+# ----------------------------------------------------------------------- #
+
+
+def run_consensus_parity(B, L0, L, D, N, P, seed, match=3, mismatch=-5,
+                         gap=-4, partial=True, interleave=1,
+                         allow_code6=False):
+    """polish_chunk(consensus=True) must emit the exact consensus the
+    host heaviest_bundle computes from the downloaded graph (reference
+    consensus policy: spoa GenerateConsensus, src/window.cpp:122-123).
+    Returns the number of windows that needed branch completion (so
+    callers can assert the BC path was actually exercised)."""
+    from racon_tpu.poa.consensus_host import consensus_from_arrays
+
+    rng = np.random.RandomState(seed + 1000)
+    state0, layers = random_problem(B, L0, L, D, N, P, seed, partial=partial)
+    codes0 = np.asarray(state0.codes)
+    blen = np.asarray(state0.n_nodes)
+    bb = codes0[:, :L0].astype(np.int32)
+    bw_base = rng.randint(1, 50, size=(B, L0)).astype(np.int32)
+    for b in range(B):
+        bb[b, blen[b]:] = E.PAD_CODE
+        bw_base[b, blen[b]:] = 0
+    sub_l = -(-(L + 1) // FC.LANE)
+    t_cap = N + L
+    metas, seq_t, wts_t = build_chunk_inputs(layers, sub_l)
+    args = (jnp.asarray(bb), jnp.asarray(bw_base), jnp.asarray(blen),
+            metas, seq_t, wts_t)
+    kw = dict(n_cap=N, p_cap=P, sub_l=sub_l, match=match, mismatch=mismatch,
+              gap=gap, t_cap=t_cap, interpret=True, interleave=interleave)
+    st_ref, nr_ref = FC.polish_chunk(*args, **kw)
+    ref = {k: np.asarray(v) for k, v in
+           FC.pack_for_download_chunk(st_ref, nr_ref, p_cap=P).items()}
+    st, _ = FC.polish_chunk(*args, consensus=True, **kw)
+    got = FC.unpack_consensus_chunk(
+        np.asarray(FC.pack_consensus_chunk(st)["consfused"]))
+    Np1 = got["cons"].shape[1]
+
+    if not allow_code6:
+        assert not (got["failed_code"] == 6).any(), got["failed_code"]
+    # phase 7 only ADDS code 6 on previously-ok windows; every other
+    # failure must be byte-identical to the consensus-off launch
+    not6 = got["failed_code"] != 6
+    np.testing.assert_array_equal(got["failed_code"][not6],
+                                  ref["failed_code"][not6])
+
+    n_checked = n_bc = 0
+    for b in range(B):
+        if ref["failed"][b] or got["failed_code"][b] == 6:
+            continue
+        n_nodes = int(ref["n_nodes"][b])
+        want_codes, want_cov = consensus_from_arrays(
+            ref["codes"][b], ref["pred"][b], ref["pred_w"][b],
+            ref["pred_cnt"][b], ref["cov"][b], ref["order"][b],
+            ref["rank"][b], n_nodes)
+        ln = int(got["cons_len"][b])
+        assert ln == len(want_codes), f"cons_len b={b}: {ln} != " \
+            f"{len(want_codes)}"
+        np.testing.assert_array_equal(got["cons"][b, Np1 - ln:],
+                                      want_codes, err_msg=f"cons b={b}")
+        np.testing.assert_array_equal(
+            got["cons_cov"][b, Np1 - ln:].astype(np.int32), want_cov,
+            err_msg=f"cons_cov b={b}")
+        n_checked += 1
+        # did the host need branch completion (path end not the
+        # max-scoring node)?  Re-derive pass-1 max_v and compare.
+        scores = np.full(n_nodes, -1, dtype=np.int64)
+        choice = np.full(n_nodes, -1, dtype=np.int64)
+        max_v = -1
+        for r in range(n_nodes):
+            v = int(ref["order"][b][r])
+            for s in range(int(ref["pred_cnt"][b][v])):
+                p, w = int(ref["pred"][b][v, s]), int(ref["pred_w"][b][v, s])
+                if p >= Np1 - 1:
+                    continue
+                if scores[v] < w or (scores[v] == w
+                                     and scores[choice[v]] <= scores[p]):
+                    scores[v], choice[v] = w, p
+            if choice[v] != -1:
+                scores[v] += scores[choice[v]]
+            if max_v == -1 or scores[max_v] < scores[v]:
+                max_v = v
+        # the host enters its while-loop (branch completion) iff max_v
+        # has at least one successor
+        succ = any(
+            max_v in [int(ref["pred"][b][h, s])
+                      for s in range(int(ref["pred_cnt"][b][h]))]
+            for h in range(n_nodes))
+        if succ:
+            n_bc += 1
+    assert n_checked > 0
+    return n_bc
+
+
+class TestFusedChunkConsensus:
+    def test_consensus_small(self):
+        run_consensus_parity(B=3, L0=40, L=96, D=6, N=160, P=8, seed=0)
+
+    def test_consensus_more_windows(self):
+        run_consensus_parity(B=4, L0=56, L=128, D=5, N=192, P=8, seed=7)
+
+    def test_consensus_full_span(self):
+        run_consensus_parity(B=3, L0=48, L=96, D=5, N=192, P=8, seed=9,
+                             partial=False)
+
+    def test_consensus_interleaved(self):
+        run_consensus_parity(B=4, L0=40, L=96, D=5, N=160, P=8, seed=14,
+                             interleave=2)
+
+    def test_consensus_branch_completion(self):
+        """Heavy partial layers over only a backbone PREFIX make the
+        max-scoring node land mid-graph (it has successors), forcing the
+        branch-completion while-loop on both host and kernel."""
+        from racon_tpu.poa.consensus_host import consensus_from_arrays
+
+        B, L0, D, N, P = 2, 40, 5, 160, 8
+        L = 96
+        rng = np.random.RandomState(3)
+        bb = rng.randint(0, 4, size=(B, L0)).astype(np.int32)
+        bw = np.ones((B, L0), np.int32)
+        blen = np.full(B, L0, np.int32)
+        layers = []
+        cut = 21
+        for d in range(D):
+            seq = np.full((B, L), E.PAD_CODE, np.int32)
+            wts = np.zeros((B, L), np.int32)
+            seq[:, :cut] = bb[:, :cut]        # exact prefix copy
+            wts[:, :cut] = 50                 # heavy
+            layers.append(E.LayerBatch(
+                seq=jnp.asarray(seq), weights=jnp.asarray(wts),
+                length=jnp.asarray(np.full(B, cut, np.int32)),
+                begin=jnp.asarray(np.zeros(B, np.int32)),
+                end=jnp.asarray(np.full(B, cut - 1, np.int32)),
+                full=jnp.asarray(np.zeros(B, bool)),
+                active=jnp.asarray(np.ones(B, bool))))
+        sub_l = -(-(L + 1) // FC.LANE)
+        t_cap = N + L
+        metas, seq_t, wts_t = build_chunk_inputs(layers, sub_l)
+        args = (jnp.asarray(bb), jnp.asarray(bw), jnp.asarray(blen),
+                metas, seq_t, wts_t)
+        kw = dict(n_cap=N, p_cap=P, sub_l=sub_l, match=3, mismatch=-5,
+                  gap=-4, t_cap=t_cap, interpret=True)
+        st_ref, nr_ref = FC.polish_chunk(*args, **kw)
+        ref = {k: np.asarray(v) for k, v in
+               FC.pack_for_download_chunk(st_ref, nr_ref, p_cap=P).items()}
+        st, _ = FC.polish_chunk(*args, consensus=True, **kw)
+        got = FC.unpack_consensus_chunk(
+            np.asarray(FC.pack_consensus_chunk(st)["consfused"]))
+        Np1 = got["cons"].shape[1]
+        assert not got["failed"].any()
+        for b in range(B):
+            want_codes, want_cov = consensus_from_arrays(
+                ref["codes"][b], ref["pred"][b], ref["pred_w"][b],
+                ref["pred_cnt"][b], ref["cov"][b], ref["order"][b],
+                ref["rank"][b], int(ref["n_nodes"][b]))
+            # BC must actually have run: the path must extend past the
+            # heavy prefix to the backbone sink (full backbone length)
+            assert len(want_codes) == L0, "test setup failed to force BC"
+            ln = int(got["cons_len"][b])
+            assert ln == len(want_codes)
+            np.testing.assert_array_equal(got["cons"][b, Np1 - ln:],
+                                          want_codes)
+            np.testing.assert_array_equal(
+                got["cons_cov"][b, Np1 - ln:].astype(np.int32), want_cov)
+
+    def test_consensus_with_failures(self):
+        """Graph-build failures (capacity overflow) must carry their
+        original code through a consensus launch untouched."""
+        run_consensus_parity(B=3, L0=40, L=96, D=10, N=56, P=6, seed=1,
+                             allow_code6=True)
