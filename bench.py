@@ -96,10 +96,14 @@ def main() -> int:
     probe_ok, probe_sec, probe_tries = True, 0.0, 0
     if engine in ("tpu", "auto") and os.environ.get(
             "RACON_TPU_BENCH_PROBE", "1") != "0":
+        # attach penalties of 5-40 min per process are measured on this
+        # tunnel (2026-08-20: 2373 s); a short probe timeout would
+        # misread a slow-but-healthy attach as a dead tunnel and
+        # wrongly degrade the benchmark to the native engine
         probe_ok, probe_sec, probe_tries = _tunnel_probe(
-            attempts=int(os.environ.get("RACON_TPU_BENCH_PROBE_TRIES", "3")),
+            attempts=int(os.environ.get("RACON_TPU_BENCH_PROBE_TRIES", "2")),
             timeout_s=int(os.environ.get("RACON_TPU_BENCH_PROBE_TIMEOUT",
-                                         "600")))
+                                         "2700")))
         if not probe_ok:
             # a down tunnel hangs even jax.devices(); do not let the
             # pipeline's prewarm thread touch the backend

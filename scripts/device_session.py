@@ -196,10 +196,13 @@ def stage_xfer():
               f"({mb / dt:6.1f} MB/s)", flush=True)
 
 
-def stage_collect(K=4, D=22, N=1791, P=12, B=32):
+def stage_collect(K=4, D=22, N=1791, P=12, B=32, band_sub=3):
     """Time the REAL per-chunk cycle at production shapes: launch (upload
     + dispatch), device compute, and the collect download of the packed
-    graph arrays — the decomposition bench_scale's t_wait hides."""
+    graph arrays — the decomposition bench_scale's t_wait hides.
+    band_sub=3 matches the production auto band at K=4/sub_l=5 (full
+    rows at K=4 put the H scratch at ~18 MB > the 16 MB VMEM limit —
+    the first cut of this stage died there)."""
     from racon_tpu.poa import engine as E
     from racon_tpu.poa import fused_chunk as FC
     from tests.test_fused_chunk import build_chunk_inputs, random_problem
@@ -220,7 +223,7 @@ def stage_collect(K=4, D=22, N=1791, P=12, B=32):
     seq8 = np.asarray(seq_t, np.int8)
     wts8 = np.asarray(wts_t, np.int8)
     kw = dict(n_cap=N, p_cap=P, sub_l=sub_l, match=3, mismatch=-5, gap=-4,
-              t_cap=t_cap, interleave=K)
+              t_cap=t_cap, interleave=K, band_sub=band_sub)
     host = (np.asarray(bb), np.asarray(bw), np.asarray(blen),
             np.asarray(metas), seq8, wts8)
     def pack(st, nr, cons):
@@ -242,11 +245,13 @@ def stage_collect(K=4, D=22, N=1791, P=12, B=32):
             out = {k: np.asarray(v) for k, v in packed.items()}  # wait+down
             t2 = time.time()
             nbytes = sum(v.nbytes for v in out.values())
+            flags = (FC.unpack_consensus_chunk(out["consfused"])["failed"]
+                     if cons else out["failed"])
             print(f"[collect] K={K} cons={int(cons)} rep{rep}: "
                   f"launch {t1 - t0:6.3f}s, "
                   f"collect {t2 - t1:6.3f}s ({nbytes / 1e6:.1f} MB down), "
                   f"cycle {t2 - t0:6.3f}s "
-                  f"failed={int(np.asarray(out['failed']).sum())}",
+                  f"failed={int(np.asarray(flags).sum())}",
                   flush=True)
             # collect split: which downloads cost what (per-RPC latency
             # vs bandwidth)
@@ -459,8 +464,28 @@ def stage_ed(wlen=500, expect=1309, stream=False, assist=False):
         os.environ["RACON_TPU_HOST_ASSIST"] = "0"
 
 
+def _guarded(fn):
+    """One failing stage must not kill the whole session (each NEW
+    process pays the tunnel a minutes-long attach penalty) — print and
+    move on.  A wedged tunnel makes the next probe hang, which is the
+    correct place to stop."""
+    import functools
+
+    @functools.wraps(fn)
+    def w(*a, **k):
+        try:
+            return fn(*a, **k)
+        except Exception as e:
+            print(f"[session] stage {fn.__name__} FAILED: "
+                  f"{type(e).__name__}: {str(e)[:400]}", flush=True)
+    return w
+
+
 if __name__ == "__main__":
     stages = sys.argv[1:] or ["ab", "lambda"]
+    for _n in list(globals()):
+        if _n.startswith("stage_") or _n == "_stage_lambda":
+            globals()[_n] = _guarded(globals()[_n])
     # keep the K/band A/B stages pure-device (unconditionally — an
     # inherited =1 must not leak into the timings); the "assist" stage
     # flips host assist on explicitly for its own A/B
