@@ -239,20 +239,41 @@ def test_transient_error_retries_same_config(monkeypatch):
     assert not hasattr(eng, "_k_compile_cap")
 
 
-def test_compile_error_degrades_k_and_recomputes_band(monkeypatch):
+def test_compile_error_sheds_consensus_before_k(monkeypatch):
+    """The phase-7 consensus code is the newest compile surface: the
+    FIRST compile rejection turns device consensus off and retries at
+    the same K (output is identical either way); only a persisting
+    rejection costs interleave streams."""
     eng, seen = _degrade_harness(
         monkeypatch, [_FakeCompileError("Mosaic failed to compile")])
+    assert eng.device_consensus
     packed, k, band, N = eng._launch_with_degrade(
         [0], [], depth=4, L=256, L0=100, N=1024, N0=1024, t_cap=1280,
         mode="fused", p_cap=12, sub_l=3, k_eff=3, band_eff=0)
     assert packed == {"ok": True}
-    # the persisted cap is keyed by the sub_l rung that failed: a wide
-    # rung's rejection must not cap narrower rungs that fit more streams
+    assert not eng.device_consensus
+    assert eng.stats["cons_degraded"] == 1
+    assert k == 3, "shedding consensus must not cost interleave streams"
+    assert not hasattr(eng, "_k_compile_cap")
+    assert [c[0] for c in seen] == [3, 3]
+
+
+def test_compile_error_degrades_k_and_recomputes_band(monkeypatch):
+    eng, seen = _degrade_harness(
+        monkeypatch, [_FakeCompileError("Mosaic failed to compile")] * 2)
+    packed, k, band, N = eng._launch_with_degrade(
+        [0], [], depth=4, L=256, L0=100, N=1024, N0=1024, t_cap=1280,
+        mode="fused", p_cap=12, sub_l=3, k_eff=3, band_eff=0)
+    assert packed == {"ok": True}
+    # failure 1 sheds device consensus at the same K; failure 2 is a
+    # genuine K rejection: the persisted cap is keyed by the sub_l rung
+    # that failed (a wide rung's rejection must not cap narrower rungs)
+    assert not eng.device_consensus
     assert k == 2 and eng._k_compile_cap == {3: 2}
     # the retry's band/N must come from _band_plan at the DEGRADED K,
     # not reuse the K=3-derived values
     want_band, want_N = eng._band_plan(1024, 12, 3, 2)
-    assert seen[1] == (2, want_band, want_N)
+    assert seen[2] == (2, want_band, want_N)
 
 
 def test_transient_then_fail_degrades_without_cap(monkeypatch):
