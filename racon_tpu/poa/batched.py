@@ -647,12 +647,18 @@ class BatchedPOAEngine:
             # bytes than the old astype(np.int32) host-side widening
             seq_t, wts_t = FC.pack_layer_tiles(seq, wts, sub_l)
             dev_cons = self.device_consensus
+            # two uploads, not six: the tunnel charges ~27 ms per
+            # transfer RPC and the launch loop serializes on them
+            bundle = np.concatenate(
+                [backbone.ravel(), backbone_w.ravel(), backbone_len,
+                 metas.ravel()]).astype(np.int32)
+            tiles = np.stack([seq_t, wts_t])
             t_put0 = time.perf_counter()
-            st, nr = FC.polish_chunk(
-                put(backbone), put(backbone_w), put(backbone_len),
-                put(metas), put(seq_t), put(wts_t), n_cap=N,
+            st, nr = FC.polish_chunk_packed(
+                put(bundle), put(tiles), n_cap=N,
                 p_cap=p_cap, sub_l=sub_l, match=self.match,
                 mismatch=self.mismatch, gap=self.gap, t_cap=t_cap,
+                B=Bp, L0=L0, D=Dp,
                 interpret=FC.INTERPRET, interleave=interleave,
                 band_sub=band_sub, consensus=dev_cons)
             packed = (FC.pack_consensus_chunk(st) if dev_cons else

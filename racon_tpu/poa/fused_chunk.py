@@ -1544,6 +1544,36 @@ def pack_for_download_chunk(state, noderow, p_cap: int):
     )
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n_cap", "p_cap", "sub_l", "match", "mismatch", "gap", "t_cap",
+    "interpret", "stop_phase", "interleave", "band_sub", "consensus",
+    "B", "L0", "D"))
+def polish_chunk_packed(bundle, tiles, n_cap: int, p_cap: int, sub_l: int,
+                        match: int, mismatch: int, gap: int, t_cap: int,
+                        B: int, L0: int, D: int, interpret: bool = False,
+                        stop_phase: int = 9, interleave: int = 1,
+                        band_sub: int = 0, consensus: bool = False):
+    """Two-array upload wrapper around polish_chunk: the tunnel charges
+    ~27 ms per transfer RPC, so the production launch bundles the four
+    int32 host arrays into one flat array and the two int8 tile stacks
+    into one — 6 device_puts -> 2 (upload RPC serialization measured
+    0.19-0.39 s/chunk at genome scale, ~0.16 s of it per-RPC latency).
+
+    bundle: int32 1-D, laid out [B*L0 backbone | B*L0 backbone_w |
+    B backbone_len | D*B*8 metas]; tiles: int8 [2, D, B, sub_l, LANE]
+    (seq, wts).  Splitting happens on device inside this jit."""
+    o1 = B * L0
+    o2 = 2 * B * L0
+    o3 = o2 + B
+    return polish_chunk(
+        bundle[:o1].reshape(B, L0), bundle[o1:o2].reshape(B, L0),
+        bundle[o2:o3], bundle[o3:].reshape(D, B, 8),
+        tiles[0], tiles[1], n_cap=n_cap, p_cap=p_cap, sub_l=sub_l,
+        match=match, mismatch=mismatch, gap=gap, t_cap=t_cap,
+        interpret=interpret, stop_phase=stop_phase, interleave=interleave,
+        band_sub=band_sub, consensus=consensus)
+
+
 @jax.jit
 def pack_consensus_chunk(state):
     """Download pack for consensus-on-device chunks (polish_chunk with
